@@ -1,0 +1,87 @@
+"""Varbyte (LEB128) + delta posting-block codec, numpy-vectorized.
+
+The reference ships its index layout to Elasticsearch/Lucene (outside
+the Go repo); this module is our own physical layout (SURVEY.md §4
+custom-work item 1): per-(term, shard) posting lists packed into
+fixed-size blocks of ``(doc_id delta-varbyte, tf varbyte, dl varbyte)``
+with per-block ``(first_doc_id, last_doc_id, n, max_tf, min_dl)``
+metadata. ``(max_tf, min_dl)`` gives a BM25 upper bound for block-max
+WAND that stays valid when global ``avgdl`` drifts after incremental
+updates (score is increasing in tf, decreasing in dl).
+
+Encode/decode are numpy-vectorized: loops run over byte-width (≤10
+iterations), never over postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per block
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode non-negative int64/uint64 values (LEB128,
+    little-endian 7-bit groups, high bit = continuation)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for g in range(int(nb.max())):
+        mask = nb > g
+        idx = starts[mask] + g
+        byte = ((v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[mask] - 1 > g).astype(np.uint8)) << np.uint8(7)
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`vb_encode`; returns uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    lens = np.diff(np.concatenate(([np.int64(-1)], ends)))
+    starts = ends - lens + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for g in range(int(lens.max())):
+        mask = lens > g
+        idx = starts[mask] + g
+        vals[mask] |= (b[idx] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * g)
+    return vals
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array → gaps (first value kept as-is),
+    so decode is a plain cumsum."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    out = v.copy()
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas.astype(np.uint64), dtype=np.uint64)
+
+
+def pack_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """Pack one block (doc_ids strictly increasing)."""
+    return (
+        vb_encode(delta_encode(doc_ids)),
+        vb_encode(tfs),
+        vb_encode(dls),
+    )
+
+
+def unpack_block(doc_b: bytes, tf_b: bytes, dl_b: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(vb_decode(doc_b))
+    return doc_ids, vb_decode(tf_b), vb_decode(dl_b)

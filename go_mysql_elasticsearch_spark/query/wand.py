@@ -1,0 +1,252 @@
+"""Block-max WAND BM25 top-k over the packed posting index.
+
+Execution plan (SURVEY.md §3.3 "Spark shape"):
+
+1. Analyze the query with the index analyzer; look up each term's
+   global df in the (tiny) term dictionary → driver-side idf map.
+2. Scan only matched postings: ``postings.where(term.isin(q))`` —
+   the term filter is pushed into the parquet scan (files are sorted
+   by term, so row-group min/max stats prune).
+3. ``groupBy(segment, shard).applyInPandas(wand)`` — each group holds
+   *all* query terms' sub-lists for one disjoint slice of the doc
+   space (shard = doc_id % n_shards), so a shard-local top-k is
+   sufficient: any global top-k doc is in its shard's local top-k.
+   This is what makes the query scale: at 10^12 docs a head term's
+   postings never converge on one task; WAND runs on n_segments ×
+   n_shards tasks in parallel.
+4. Union of shard top-ks → global ``ORDER BY round(score,6) DESC,
+   doc_id ASC LIMIT k`` (deterministic tie-break, SURVEY.md §4.4).
+
+The traversal is the real thing: WAND pivoting on per-term score
+upper bounds with a block-max refinement — a candidate is fully
+scored only if the Σ of its lists' *current-block* upper bounds can
+still beat the heap threshold. Block UBs come from per-block
+``(max_tf, min_dl)`` packed at build time (index/codec.py), so they
+remain valid upper bounds when global avgdl drifts after incremental
+updates.
+
+Reference parity: reproduces the `match` query semantics of
+vendor/gopkg.in/olivere/elastic.v3/search_queries_match.go:16-214
+(operator OR/AND, minimum_should_match) with Lucene BM25 scoring.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..index.codec import unpack_block
+from ..index.reader import IndexReader
+from .scoring import ROUND_DIGITS, analyze_query, idf as _idf, tfpart
+
+# Heap scores are rounded to ROUND_DIGITS so the shard-local comparator
+# matches the global one exactly; the pruning slack must therefore cover
+# the rounding step (raw UB >= raw score >= rounded score - 5e-7).
+_EPS = 1e-6
+_INF = np.iinfo(np.int64).max
+
+_TOPK_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("raw", DoubleType())]
+)
+
+
+class _TermIter:
+    """Cursor over one (term, segment, shard) sub-list: lazily decodes
+    blocks, exposes next_geq / block-max upper bounds."""
+
+    __slots__ = ("idf", "firsts", "lasts", "max_tfs", "min_dls", "packs",
+                 "bi", "pi", "docs", "tfs", "dls", "avgdl", "global_ub")
+
+    def __init__(self, idf_val: float, g: pd.DataFrame, avgdl: float):
+        self.idf = idf_val
+        self.avgdl = avgdl
+        order = np.argsort(g["first_doc_id"].to_numpy())
+        self.firsts = g["first_doc_id"].to_numpy()[order]
+        self.lasts = g["last_doc_id"].to_numpy()[order]
+        self.max_tfs = g["max_tf"].to_numpy()[order]
+        self.min_dls = g["min_dl"].to_numpy()[order]
+        packs = list(zip(g["docs_vb"], g["tfs_vb"], g["dls_vb"]))
+        self.packs = [packs[i] for i in order]
+        self.global_ub = idf_val * float(
+            np.max(tfpart(self.max_tfs.astype(np.float64), self.min_dls.astype(np.float64), avgdl))
+        )
+        self.bi = -1
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        if bi >= len(self.packs):
+            self.bi = len(self.packs)
+            self.docs = None
+            return
+        if bi != self.bi:
+            self.bi = bi
+            d, t, l = unpack_block(*self.packs[bi])
+            self.docs = d.astype(np.int64)
+            self.tfs = t.astype(np.float64)
+            self.dls = l.astype(np.float64)
+        self.pi = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.docs is None
+
+    def cur_doc(self) -> int:
+        return _INF if self.docs is None else int(self.docs[self.pi])
+
+    def block_ub(self) -> float:
+        if self.docs is None:
+            return 0.0
+        return self.idf * tfpart(float(self.max_tfs[self.bi]), float(self.min_dls[self.bi]), self.avgdl)
+
+    def cur_score(self) -> float:
+        return self.idf * tfpart(self.tfs[self.pi], self.dls[self.pi], self.avgdl)
+
+    def advance(self) -> None:
+        self.pi += 1
+        if self.pi >= len(self.docs):
+            self._load(self.bi + 1)
+
+    def next_geq(self, target: int) -> None:
+        if self.docs is None:
+            return
+        if target > int(self.lasts[self.bi]):
+            nbi = int(np.searchsorted(self.lasts, target, side="left"))
+            self._load(nbi)
+            if self.docs is None:
+                return
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pi >= len(self.docs):  # can happen only via direct advance
+            self._load(self.bi + 1)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ds, ts, ls = [], [], []
+        for p in self.packs:
+            d, t, l = unpack_block(*p)
+            ds.append(d.astype(np.int64))
+            ts.append(t.astype(np.float64))
+            ls.append(l.astype(np.float64))
+        return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+
+
+def _wand_or(lists: list[_TermIter], k: int, min_should: int, dead: frozenset) -> list[tuple[int, float]]:
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    while True:
+        live = [L for L in lists if not L.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda L: L.cur_doc())
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        # pivot: first list where cumulative global UB could beat theta
+        acc = 0.0
+        pivot_idx = -1
+        for i, L in enumerate(live):
+            acc += L.global_ub
+            if acc + _EPS >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = live[pivot_idx].cur_doc()
+        if pivot_doc == _INF:
+            break
+        if live[0].cur_doc() == pivot_doc:
+            at = [L for L in live if L.cur_doc() == pivot_doc]
+            block_acc = sum(L.block_ub() for L in at)
+            if (block_acc + _EPS >= theta) and len(at) >= min_should and pivot_doc not in dead:
+                score = round(sum(L.cur_score() for L in at), ROUND_DIGITS)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif (score, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+            for L in at:
+                L.advance()
+        else:
+            for L in live[:pivot_idx]:
+                if L.cur_doc() < pivot_doc:
+                    L.next_geq(pivot_doc)
+    return [(-nd, s) for s, nd in heap]
+
+
+def _and_intersect(lists: list[_TermIter], n_terms: int, k: int, dead: frozenset,
+                   return_all: bool) -> list[tuple[int, float]]:
+    """Conjunctive mode: vectorized multi-way intersection + score."""
+    if len(lists) < n_terms:
+        return []  # some query term has no postings in this shard
+    decoded = [L.decode_all() for L in lists]
+    inter = decoded[0][0]
+    for d, _, _ in decoded[1:]:
+        inter = inter[np.isin(inter, d, assume_unique=True)]
+        if inter.size == 0:
+            return []
+    if dead:
+        inter = inter[~np.isin(inter, np.fromiter(dead, dtype=np.int64))]
+    scores = np.zeros(inter.size, dtype=np.float64)
+    for L, (d, t, l) in zip(lists, decoded):
+        pos = np.searchsorted(d, inter)
+        scores += L.idf * tfpart(t[pos], l[pos], L.avgdl)
+    scores = np.round(scores, ROUND_DIGITS)
+    if return_all or inter.size <= k:
+        return list(zip(inter.tolist(), scores.tolist()))
+    top = np.lexsort((inter, -scores))[:k]
+    return list(zip(inter[top].tolist(), scores[top].tolist()))
+
+
+def _make_group_scorer(idfs: dict[str, float], avgdl: float, k: int, mode: str,
+                       min_should: int, dead: frozenset, n_terms: int,
+                       return_all: bool = False):
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lists = [
+            _TermIter(idfs[term], g, avgdl)
+            for term, g in pdf.groupby("term", sort=True)
+        ]
+        if mode == "and":
+            hits = _and_intersect(lists, n_terms, k, dead, return_all)
+        else:
+            hits = _wand_or(lists, k, min_should, dead)
+        return pd.DataFrame(hits, columns=["doc_id", "raw"]).astype(
+            {"doc_id": "int64", "raw": "float64"}
+        )
+
+    return score_group
+
+
+def bm25_topk(
+    spark: SparkSession,
+    reader: IndexReader,
+    query: str | list[str],
+    k: int = 10,
+    mode: str = "or",
+    min_should: int = 1,
+    return_all: bool = False,
+) -> DataFrame:
+    """BM25 top-k → DataFrame(doc_id, score) deterministically ordered.
+
+    ``return_all`` skips the final LIMIT (used by phrase verification
+    and bool composition, which post-filter then re-rank).
+    """
+    terms = analyze_query(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    n_terms = len(terms)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    dict_rows = reader.global_dict().where(F.col("term").isin(terms)).collect()
+    dfs = {r["term"]: r["df"] for r in dict_rows}
+    if not dfs or (mode == "and" and len(dfs) < n_terms):
+        return empty
+    n, avgdl = reader.n_docs, reader.avgdl
+    idfs = {t: _idf(n, d) for t, d in dfs.items()}
+    tomb = reader.tombstones()
+    dead = frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None else frozenset()
+
+    matched = reader.postings().where(F.col("term").isin(list(dfs)))
+    scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead, n_terms, return_all)
+    local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+    out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out if return_all else out.limit(k)

@@ -1,0 +1,99 @@
+"""Driver-contract registry: queries() + oracle_sql() entries.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame``
+exercising the real engine path with an equivalent DuckDB SQL string
+over the pre-registered views (documents, events, ...). Column names
+and rounding are aligned so the driver's order-insensitive value-hash
+matches (CORRECTNESS_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import extract_text_udf
+from .index.build import build_index
+from .index.reader import IndexReader
+from .query.phrase import match_phrase, phrase_words
+from .query.scoring import bm25_oracle_sql
+from .query.wand import bm25_topk
+from .webpages import webpages
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+IDX_CACHE_ROOT = os.environ.get("SPARK_GRAFT_IDX_CACHE", os.path.join(REPO_ROOT, ".idxcache"))
+
+_READERS: dict[str, IndexReader] = {}
+
+
+def index_for(spark: SparkSession, sf_dir: str, n_segments: int = 2, n_shards: int = 4) -> IndexReader:
+    """Build-or-open the packed index for one sf dir.
+
+    The ingest goes through the full path — html binary → Arrow-UDF
+    text extraction → tokenize → pack — so every query entry also
+    exercises M0. Manifests make re-entry a no-op (resume semantics).
+    """
+    key = os.path.abspath(sf_dir)
+    if key in _READERS:
+        return _READERS[key]
+    tag = hashlib.sha1(f"{key}|{n_segments}|{n_shards}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(IDX_CACHE_ROOT, f"{os.path.basename(key)}-{tag}")
+    wp = webpages(spark, sf_dir)
+    ingest = wp.select(
+        "doc_id", "url", "warc_ts", "lang", extract_text_udf("html").alias("text")
+    )
+    build_index(spark, ingest, idx_dir, n_segments=n_segments, n_shards=n_shards)
+    _READERS[key] = IndexReader(spark, idx_dir)
+    return _READERS[key]
+
+
+# ---------------------------------------------------------------------------
+# BM25 match-query fixtures (head / rare / OR / AND / phrase / zero-hit)
+# ---------------------------------------------------------------------------
+
+_MATCH_FIXTURES: dict[str, tuple[list[str], str]] = {
+    "bm25_match_or2": (["data", "merge"], "or"),
+    "bm25_match_or4": (["fast", "query", "batch", "value"], "or"),
+    "bm25_match_and2": (["dup", "scan"], "and"),
+    "bm25_match_head": (["scan"], "or"),
+    "bm25_match_rare": (["dup"], "or"),
+    "bm25_match_zerohit": (["zzmissingterm"], "or"),
+}
+
+_PHRASE_FIXTURE = "hash join"
+
+
+def _match_query(terms: list[str], mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_topk(spark, index_for(spark, sf_dir), terms, k=10, mode=mode)
+
+    return run
+
+
+def _phrase_query(phrase: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return match_phrase(spark, index_for(spark, sf_dir), phrase, k=10)
+
+    return run
+
+
+def build_queries() -> dict:
+    q = {}
+    for name, (terms, mode) in _MATCH_FIXTURES.items():
+        q[name] = _match_query(terms, mode)
+    q["bm25_match_phrase"] = _phrase_query(_PHRASE_FIXTURE)
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o = {}
+    for name, (terms, mode) in _MATCH_FIXTURES.items():
+        o[name] = bm25_oracle_sql(terms, mode=mode, k=10)
+    pw = phrase_words(_PHRASE_FIXTURE)
+    o["bm25_match_phrase"] = bm25_oracle_sql(
+        list(dict.fromkeys(pw)), mode="phrase", k=10, phrase=pw
+    )
+    return o

@@ -1,0 +1,87 @@
+"""M1+M4: WAND engine is rank-identical to the naive SQL-shaped scorer
+(SURVEY.md §7 M1/M4; tie-break (score DESC, doc_id ASC))."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mysql_elasticsearch_spark.index.build import build_index
+from go_mysql_elasticsearch_spark.index.reader import IndexReader
+from go_mysql_elasticsearch_spark.query.phrase import match_phrase, phrase_match_expr
+from go_mysql_elasticsearch_spark.query.scoring import analyze_query, bm25_naive
+from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+from go_mysql_elasticsearch_spark.analyzer import tokens_col
+
+from .conftest import SF_SMALL
+
+QUERIES = [
+    ("data merge", "or"),
+    ("scan", "or"),
+    ("dup", "or"),
+    ("fast query batch value small", "or"),
+    ("dup scan", "and"),
+    ("the a key", "and"),
+    ("zzznothing", "or"),
+    ("dup zzznothing", "or"),  # partial miss
+    ("dup zzznothing", "and"),  # AND with missing term → empty
+]
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "i")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=3, n_shards=4, block_size=32)
+    return IndexReader(spark, idx)
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("q,mode", QUERIES)
+def test_wand_rank_identical_to_naive(spark, reader, q, mode):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    naive = bm25_naive(docs, analyze_query(q), mode=mode, k=10)
+    wand = bm25_topk(spark, reader, q, k=10, mode=mode)
+    assert rows(wand) == rows(naive)
+
+
+def test_topk_various_k(spark, reader):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for k in (1, 3, 25, 100):
+        naive = bm25_naive(docs, ["data", "merge"], mode="or", k=k)
+        wand = bm25_topk(spark, reader, ["data", "merge"], k=k, mode="or")
+        assert rows(wand) == rows(naive)
+
+
+def test_min_should_match(spark, reader):
+    """minimum_should_match=2 of 3 terms (search_queries_match.go:99)."""
+    got = bm25_topk(spark, reader, ["dup", "scan", "merge"], k=10, mode="or", min_should=2)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    eligible = {
+        r["doc_id"]
+        for r in toks.select(
+            "doc_id",
+            sum(F.array_contains("t", w).cast("int") for w in ["dup", "scan", "merge"]).alias("m"),
+        )
+        .where(F.col("m") >= 2)
+        .collect()
+    }
+    assert all(r["doc_id"] in eligible for r in got.collect())
+    assert got.count() == 10
+
+
+def test_phrase_results_contain_phrase(spark, reader):
+    res = match_phrase(spark, reader, "hash join", k=10)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    with_phrase = docs.select(
+        "doc_id", tokens_col("text").alias("__pt")
+    ).where(phrase_match_expr("__pt", ["hash", "join"]))
+    ids = {r["doc_id"] for r in with_phrase.collect()}
+    got = [r["doc_id"] for r in res.collect()]
+    assert got and all(d in ids for d in got)
+
+
+def test_phrase_zero_hit(spark, reader):
+    assert match_phrase(spark, reader, "zzz yyy", k=10).count() == 0
