@@ -48,12 +48,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark import StorageLevel
+
 from ..analyzer import tokens_col
-from .codec import BLOCK_SIZE, pack_block
+from .codec import BLOCK_SIZE
 
 POSTINGS_SCHEMA = StructType(
     [
-        StructField("term", StringType()),
+        StructField("tid", LongType()),
         StructField("shard", IntegerType()),
         StructField("block_id", IntegerType()),
         StructField("first_doc_id", LongType()),
@@ -73,38 +75,95 @@ def segment_dir(index_dir: str, segment_id: int | str) -> str:
     return os.path.join(index_dir, "segments", f"seg={segment_id}")
 
 
-def _make_packer(block_size: int):
-    def pack_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        rows = []
-        for b0 in range(0, len(doc_ids), block_size):
-            d = doc_ids[b0 : b0 + block_size]
-            t = tfs[b0 : b0 + block_size]
-            l = dls[b0 : b0 + block_size]
-            docs_vb, tfs_vb, dls_vb = pack_block(d, t, l)
-            rows.append(
-                (
-                    term,
-                    shard,
-                    b0 // block_size,
-                    int(d[0]),
-                    int(d[-1]),
-                    len(d),
-                    int(t.max()),
-                    int(l.min()),
-                    int(t.sum()),
-                    docs_vb,
-                    tfs_vb,
-                    dls_vb,
-                )
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+def _make_stream_packer(block_size: int):
+    """Streaming per-partition packer for mapInPandas over input sorted
+    by (term, shard, doc_id).
 
-    return pack_group
+    All numpy: group boundaries via change-point detection on the
+    sorted key columns, one varbyte encode per column per batch-flush
+    (per-value independence lets us slice per-block byte ranges from
+    cumulative lengths), block metadata via np.*.reduceat. No pandas
+    groupby, no re-sort, no per-group DataFrame. Groups spanning Arrow
+    batch boundaries are carried over; memory is bounded by (largest
+    single posting sub-list + one batch), which n_shards keeps small
+    by construction.
+    """
+    from .codec import vb_encode_with_lengths
+
+    def pack_arrays(tid, shard, doc_ids, tfs, dls, bounds) -> pd.DataFrame:
+        """Pack rows [bounds[0]..bounds[-1]) where bounds mark group starts."""
+        out_term, out_shard, out_bid = [], [], []
+        starts_all = []
+        for gi in range(len(bounds) - 1):
+            s, e = bounds[gi], bounds[gi + 1]
+            g_starts = np.arange(s, e, block_size)
+            starts_all.append(g_starts)
+            nb = len(g_starts)
+            out_term.append(np.repeat(tid[s], nb))
+            out_shard.append(np.repeat(shard[s], nb))
+            out_bid.append(np.arange(nb, dtype=np.int32))
+        starts = np.concatenate(starts_all)
+        # block ends: next start, capped at its group's end
+        grp_of_start = np.repeat(np.arange(len(bounds) - 1), [len(a) for a in starts_all])
+        ends = np.minimum(starts + block_size, np.asarray(bounds[1:])[grp_of_start])
+        # delta doc_ids, reset at block starts (block-local decodability)
+        lo, hi = bounds[0], bounds[-1]
+        deltas = doc_ids[lo:hi].astype(np.uint64).copy()
+        deltas[1:] -= doc_ids[lo : hi - 1].astype(np.uint64)
+        deltas[starts - lo] = doc_ids[starts]
+        d_bytes, d_lens = vb_encode_with_lengths(deltas)
+        t_bytes, t_lens = vb_encode_with_lengths(tfs[lo:hi])
+        l_bytes, l_lens = vb_encode_with_lengths(dls[lo:hi])
+        d_off = np.concatenate(([0], np.cumsum(d_lens)))
+        t_off = np.concatenate(([0], np.cumsum(t_lens)))
+        l_off = np.concatenate(([0], np.cumsum(l_lens)))
+        rs, re_ = starts - lo, ends - lo
+        dv, tv, lv = memoryview(d_bytes), memoryview(t_bytes), memoryview(l_bytes)
+        return pd.DataFrame(
+            {
+                "tid": np.concatenate(out_term).astype(np.int64),
+                "shard": np.concatenate(out_shard).astype(np.int32),
+                "block_id": np.concatenate(out_bid),
+                "first_doc_id": doc_ids[starts],
+                "last_doc_id": doc_ids[ends - 1],
+                "n_docs": (ends - starts).astype(np.int32),
+                "max_tf": np.maximum.reduceat(tfs[lo:hi], rs).astype(np.int32),
+                "min_dl": np.minimum.reduceat(dls[lo:hi], rs).astype(np.int32),
+                "sum_tf": np.add.reduceat(tfs[lo:hi], rs).astype(np.int64),
+                "docs_vb": [bytes(dv[d_off[a] : d_off[b]]) for a, b in zip(rs, re_)],
+                "tfs_vb": [bytes(tv[t_off[a] : t_off[b]]) for a, b in zip(rs, re_)],
+                "dls_vb": [bytes(lv[l_off[a] : l_off[b]]) for a, b in zip(rs, re_)],
+            }
+        )
+
+    def pack_stream(batches):
+        carry = None  # (term, shard, doc_ids, tfs, dls) of the unfinished tail group
+        for pdf in batches:
+            tid = pdf["tid"].to_numpy(dtype=np.int64)
+            shard = pdf["shard"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            if carry is not None:
+                tid = np.concatenate([carry[0], tid])
+                shard = np.concatenate([carry[1], shard])
+                doc_ids = np.concatenate([carry[2], doc_ids])
+                tfs = np.concatenate([carry[3], tfs])
+                dls = np.concatenate([carry[4], dls])
+            n = len(tid)
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])) + 1
+            if len(change) == 0:  # whole batch is one group → carry it all
+                carry = (tid, shard, doc_ids, tfs, dls)
+                continue
+            tail = change[-1]
+            bounds = np.concatenate(([0], change)).tolist()
+            yield pack_arrays(tid, shard, doc_ids, tfs, dls, bounds)
+            carry = (tid[tail:n], shard[tail:n], doc_ids[tail:n], tfs[tail:n], dls[tail:n])
+        if carry is not None and len(carry[0]):
+            tid, shard, doc_ids, tfs, dls = carry
+            yield pack_arrays(tid, shard, doc_ids, tfs, dls, [0, len(tid)])
+
+    return pack_stream
 
 
 def build_segment(
@@ -131,47 +190,78 @@ def build_segment(
             return json.load(f)
 
     t0 = time.time()
+    # Defensive parallelism: a small parquet input arrives as 1-2
+    # partitions and would serialize tokenization on one core. At real
+    # scale (maxPartitionBytes-sized splits) this branch never fires.
+    target_parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target_parts // 2):
+        docs = docs.repartition(target_parts)
     passthrough = [c for c in ("url", "warc_ts", "lang", "text") if c in docs.columns]
     base = docs.select("doc_id", *passthrough, tokens_col("text").alias("_toks")).withColumn(
         "dl", F.size("_toks")
     )
+    _timings: dict[str, float] = {}
+    _t = time.time()
 
-    # --- docstore (doc_id, dl, passthrough cols) ---------------------------
-    docstore = base.drop("_toks")
-    docstore.write.mode("overwrite").parquet(os.path.join(seg, "docs.parquet"))
+    def _mark(name: str) -> None:
+        nonlocal _t
+        _timings[name] = round(time.time() - _t, 2)
+        _t = time.time()
 
-    # --- postings ----------------------------------------------------------
-    exploded = base.select("doc_id", "dl", F.explode("_toks").alias("term"))
-    tf = exploded.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
-    )
-    sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
-    packed = sharded.groupBy("term", "shard").applyInPandas(
-        _make_packer(block_size), schema=POSTINGS_SCHEMA
-    )
-    # sorted within files → parquet min/max row-group stats on `term`
-    # make query-time term lookups prunable scans
-    packed.sortWithinPartitions("term", "shard", "block_id").write.mode("overwrite").parquet(
-        os.path.join(seg, "postings.parquet")
-    )
+    # Job 1 — docstore write; collection stats ride along via observe()
+    # (no separate stats job). Tokenize is recomputed by job 2 instead
+    # of persisting token arrays: at scale the cache serialization +
+    # memory pressure costs more than the second regex pass.
+    from pyspark.sql import Observation
 
-    # --- per-segment term dictionary (df = Σ n_docs over blocks) ----------
-    postings = spark.read.parquet(os.path.join(seg, "postings.parquet"))
-    dict_df = postings.groupBy("term").agg(
-        F.sum("n_docs").cast("long").alias("df"),
-        F.max("max_tf").alias("max_tf"),
-        F.sum("sum_tf").cast("long").alias("sum_tf"),
-    )
-    dict_df.write.mode("overwrite").parquet(os.path.join(seg, "dict.parquet"))
-
-    # --- lineage manifest (north_star fields) ------------------------------
-    stats_row = base.agg(
+    obs = Observation()
+    docstore = base.drop("_toks").observe(
+        obs,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.min("doc_id").alias("doc_id_min"),
         F.max("doc_id").alias("doc_id_max"),
-    ).collect()[0]
-    term_count = dict_df.count()
+    )
+    docstore.write.mode("overwrite").parquet(os.path.join(seg, "docs.parquet"))
+    stats_row = obs.get
+    _mark("docstore")
+
+    # Job 2 — postings. One shuffle for the (term, doc_id) tf agg, one
+    # explicit-width shuffle co-locating each (term, shard) sub-list
+    # sorted so the streaming packer sees contiguous groups in doc_id
+    # order. The width is pinned (AQE would otherwise coalesce the
+    # small bench shuffle to 1-2 tasks and serialize the Python stage;
+    # at real scale you want it pinned to ~2-3x cluster cores anyway).
+    # Output files stay sorted by term → parquet min/max row-group
+    # stats make query-time term lookups prunable scans.
+    # Terms are keyed by xxhash64 (fixed-width int64) the moment they
+    # leave the tokenizer: at web scale the term string would otherwise
+    # ride through two shuffles and a sort (memory-bandwidth bound).
+    # Query-side hashes its terms the same way; term *strings* are only
+    # needed by dictionary-walking ops (prefix/wildcard/fuzzy), served
+    # by the lazily-built term_strings table (reader.term_strings()).
+    # 64-bit collisions are negligible below ~10^9 distinct terms.
+    exploded = base.select(
+        "doc_id", "dl", F.explode(F.transform("_toks", lambda t: F.xxhash64(t))).alias("tid")
+    )
+    tf = exploded.groupBy("tid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    pack_width = max(target_parts, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    pack_obs = Observation()
+    packed = (
+        sharded.repartition(pack_width, "tid", "shard")
+        .sortWithinPartitions("tid", "shard", "doc_id")
+        .mapInPandas(_make_stream_packer(block_size), schema=POSTINGS_SCHEMA)
+        .observe(pack_obs, F.approx_count_distinct("tid").alias("term_count"))
+    )
+    packed.write.mode("overwrite").parquet(os.path.join(seg, "postings.parquet"))
+    # manifest term_count is HLL-approximate (observe() cannot run exact
+    # distinct); the exact dictionary is derived by IndexReader on first
+    # use from block metadata (no third job in the build's hot path).
+    term_count = int(pack_obs.get["term_count"])
+    _mark("postings")
     nbytes = sum(
         os.path.getsize(os.path.join(r, fn))
         for r, _, fns in os.walk(seg)
@@ -193,6 +283,10 @@ def build_segment(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, manifest_path)  # atomic, like canal/master.go:71-90
+    if os.environ.get("SPARK_GRAFT_BUILD_TIMING"):
+        import sys
+
+        print(f"[build_segment {segment_id}] phases: {_timings}", file=sys.stderr)
     return manifest
 
 

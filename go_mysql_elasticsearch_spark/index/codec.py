@@ -20,12 +20,18 @@ import numpy as np
 BLOCK_SIZE = 128  # postings per block
 
 
-def vb_encode(values: np.ndarray) -> bytes:
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Varbyte-encode non-negative int64/uint64 values (LEB128,
-    little-endian 7-bit groups, high bit = continuation)."""
+    little-endian 7-bit groups, high bit = continuation).
+
+    Also returns the per-value byte length, which lets callers encode a
+    whole posting list in ONE call and slice per-block byte ranges from
+    the cumulative offsets (varbyte is per-value independent, so the
+    concatenation of slices is identical to per-block encoding).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -40,7 +46,11 @@ def vb_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
         cont = ((nb[mask] - 1 > g).astype(np.uint8)) << np.uint8(7)
         out[idx] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    return vb_encode_with_lengths(values)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:

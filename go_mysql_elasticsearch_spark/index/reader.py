@@ -20,6 +20,7 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._dict_df: DataFrame | None = None
         self.manifests: list[dict] = []
         for mp in sorted(glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json"))):
             with open(mp) as f:
@@ -59,16 +60,46 @@ class IndexReader:
         return self._union("docs.parquet")
 
     def global_dict(self) -> DataFrame:
-        """(term, df) across segments — the idf source.
+        """(tid, df, max_tf) across segments — the idf source.
 
-        Per-segment dicts are small (≤ vocab size); the union+groupBy is
-        a metadata-scale aggregation even at 10^12 docs (vocab ≪ corpus).
+        Derived once per reader from posting-block *metadata* (n_docs /
+        max_tf columns only — column pruning keeps the packed bytes out
+        of the scan) and kept cached: block rows are corpus/block_size,
+        and the agg output is vocab-sized. The build pipeline stays two
+        jobs; serving pays this once per process.
         """
-        return (
-            self._union("dict.parquet")
-            .groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"), F.max("max_tf").alias("max_tf"))
-        )
+        if self._dict_df is None:
+            self._dict_df = (
+                self.postings()
+                .select("tid", "n_docs", "max_tf")
+                .groupBy("tid")
+                .agg(F.sum("n_docs").cast("long").alias("df"), F.max("max_tf").alias("max_tf"))
+                .cache()
+            )
+            self._dict_df.count()  # materialize the cache eagerly
+        return self._dict_df
+
+    def term_strings(self) -> DataFrame:
+        """(term, tid, df) — the string-keyed term dictionary, built
+        lazily (only dictionary-walking ops need it: prefix/wildcard/
+        regexp/fuzzy/suggest — reference surface §2.4) and cached as
+        parquet beside the segments.
+        """
+        import os as _os
+
+        from ..analyzer import tokens_col
+
+        p = _os.path.join(self.index_dir, "term_strings.parquet")
+        if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
+            terms = (
+                self.docstore()
+                .select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                .withColumn("tid", F.xxhash64("term"))
+            )
+            terms.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
 
     def tombstones(self) -> DataFrame | None:
         p = os.path.join(self.index_dir, "tombstones.parquet")

@@ -197,13 +197,29 @@ def _and_intersect(lists: list[_TermIter], n_terms: int, k: int, dead: frozenset
     return list(zip(inter[top].tolist(), scores[top].tolist()))
 
 
-def _make_group_scorer(idfs: dict[str, float], avgdl: float, k: int, mode: str,
+_TID_CACHE: dict[str, int] = {}
+
+
+def term_ids(spark: SparkSession, terms: list[str]) -> dict[str, int]:
+    """term → xxhash64 tid, exactly as the build computes it (a tiny
+    driver-local job on literals; memoized per term)."""
+    missing = [t for t in terms if t not in _TID_CACHE]
+    if missing:
+        row = spark.range(1).select(
+            *[F.xxhash64(F.lit(t)).alias(f"h{i}") for i, t in enumerate(missing)]
+        ).collect()[0]
+        for i, t in enumerate(missing):
+            _TID_CACHE[t] = row[f"h{i}"]
+    return {t: _TID_CACHE[t] for t in terms}
+
+
+def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
                        min_should: int, dead: frozenset, n_terms: int,
                        return_all: bool = False):
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         lists = [
-            _TermIter(idfs[term], g, avgdl)
-            for term, g in pdf.groupby("term", sort=True)
+            _TermIter(idfs[tid], g, avgdl)
+            for tid, g in pdf.groupby("tid", sort=True)
         ]
         if mode == "and":
             hits = _and_intersect(lists, n_terms, k, dead, return_all)
@@ -235,8 +251,9 @@ def bm25_topk(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
-    dict_rows = reader.global_dict().where(F.col("term").isin(terms)).collect()
-    dfs = {r["term"]: r["df"] for r in dict_rows}
+    tids = term_ids(spark, terms)
+    dict_rows = reader.global_dict().where(F.col("tid").isin(list(tids.values()))).collect()
+    dfs = {r["tid"]: r["df"] for r in dict_rows}
     if not dfs or (mode == "and" and len(dfs) < n_terms):
         return empty
     n, avgdl = reader.n_docs, reader.avgdl
@@ -244,7 +261,7 @@ def bm25_topk(
     tomb = reader.tombstones()
     dead = frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None else frozenset()
 
-    matched = reader.postings().where(F.col("term").isin(list(dfs)))
+    matched = reader.postings().where(F.col("tid").isin(list(dfs)))
     scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead, n_terms, return_all)
     local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))

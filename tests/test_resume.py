@@ -13,7 +13,7 @@ from .conftest import SF_SMALL
 def _postings_snapshot(spark, idx):
     r = IndexReader(spark, idx)
     return sorted(
-        (row["segment"], row["term"], row["shard"], row["block_id"],
+        (row["segment"], row["tid"], row["shard"], row["block_id"],
          bytes(row["docs_vb"]), bytes(row["tfs_vb"]), bytes(row["dls_vb"]))
         for row in r.postings().collect()
     )
