@@ -1,0 +1,377 @@
+"""Aggregations: bucket / metric / pipeline (SURVEY.md §2.4 table).
+
+Reference surface: search_aggs_bucket_*.go, search_aggs_metrics_*.go,
+search_aggs_pipeline_*.go. Bucket aggs → groupBy; metric aggs → agg
+functions; pipeline aggs → window functions over the bucket frame —
+exactly the Catalyst-native mapping from the survey.
+
+Time-series entries run on the ``events`` table (ts, user_id,
+event_type, value); doc entries on ``documents``. All float outputs
+are rounded to 6 decimals for cross-engine hash stability; skewness/
+kurtosis use explicit population-moment formulas because Spark and
+DuckDB disagree on sample corrections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import index_for
+
+
+def _docs(spark, sf_dir):
+    return index_for(spark, sf_dir).docstore()
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --- bucket aggs -----------------------------------------------------------
+
+def q_terms_agg(spark, sf_dir):
+    """terms agg (search_aggs_bucket_terms.go:10)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """histogram interval=50 on n_chars (search_aggs_bucket_histogram.go:12)."""
+    d = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return (
+        d.groupBy((F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def q_date_histogram(spark, sf_dir):
+    """date_histogram hourly (search_aggs_bucket_date_histogram.go:10)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def q_range_agg(spark, sf_dir):
+    """range agg (search_aggs_bucket_range.go:18)."""
+    d = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    bucket = (
+        F.when(F.col("n_chars") < 100, "lt100")
+        .when(F.col("n_chars") < 300, "100-300")
+        .otherwise("gte300")
+    )
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+
+
+def q_filters_agg(spark, sf_dir):
+    """filters agg (search_aggs_bucket_filters.go:19) — one conditional
+    count per named filter."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("errors"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("big_value"),
+    )
+
+
+def q_missing_agg(spark, sf_dir):
+    """missing agg (search_aggs_bucket_missing.go:15)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("missing_props")
+    )
+
+
+def q_significant_terms(spark, sf_dir):
+    """significant_terms (search_aggs_bucket_significant_terms.go:10):
+    fg = lang 'de' docs, bg = corpus; score = (fg_freq/fg_n) / (bg_freq/bg_n),
+    top 5 by (score desc, term asc)."""
+    from ..analyzer import tokens_col
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "lang", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    bg_n = d.count()
+    fg_n_row = d.where(F.col("lang") == "de").count()
+    bg = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("bg_df"))
+    fg = (
+        toks.where(F.col("lang") == "de")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("fg_df"))
+    )
+    out = fg.join(bg, "term").select(
+        "term",
+        F.round((F.col("fg_df") / F.lit(float(fg_n_row))) / (F.col("bg_df") / F.lit(float(bg_n))), 6).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("term")).limit(5)
+
+
+def q_sampler_agg(spark, sf_dir):
+    """sampler agg (search_aggs_bucket_sampler.go:12) — deterministic
+    sample: docs with pmod(xxhash64(doc_id), 10) = 0, then a metric."""
+    d = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    s = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_n_chars"),
+    )
+
+
+# --- metric aggs ------------------------------------------------------------
+
+def q_stats_agg(spark, sf_dir):
+    """stats + value_count (search_aggs_metrics_stats.go, _value_count.go)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count("value").cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+        F.round(F.sum("value"), 6).alias("vsum"),
+        F.round(F.avg("value"), 6).alias("vavg"),
+        F.round(F.stddev("value"), 6).alias("vstd"),
+    )
+
+
+def q_extended_stats(spark, sf_dir):
+    """extended_stats (search_aggs_metrics_extended_stats.go): population
+    moments, explicit formulas (Spark/DuckDB sample corrections differ)."""
+    e = _events(spark, sf_dir).select("value")
+    m = e.agg(
+        F.count("value").cast("double").alias("n"),
+        F.avg("value").alias("mu"),
+        F.avg(F.col("value") * F.col("value")).alias("m2r"),
+        F.avg(F.pow("value", 3)).alias("m3r"),
+        F.avg(F.pow("value", 4)).alias("m4r"),
+    )
+    mu, m2r, m3r, m4r = F.col("mu"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    var_p = m2r - mu * mu
+    m3 = m3r - 3 * mu * m2r + 2 * mu**3
+    m4 = m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu**4
+    return m.select(
+        F.round(var_p, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var_p, 1.5), 6).alias("skew_pop"),
+        F.round(m4 / (var_p * var_p) - 3, 6).alias("kurt_pop"),
+    )
+
+
+def q_cardinality(spark, sf_dir):
+    """cardinality (search_aggs_metrics_cardinality.go:12). ES uses HLL;
+    the oracle-checked entry is exact count distinct (the engine also
+    exposes approx_count_distinct — HLL params differ across engines so
+    it cannot be hash-compared)."""
+    return _events(spark, sf_dir).agg(
+        F.countDistinct("user_id").cast("long").alias("users")
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """percentiles (search_aggs_metrics_percentiles.go:9) — exact
+    continuous interpolation."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_top_hits(spark, sf_dir):
+    """top_hits (search_aggs_metrics_top_hits.go:17): top-2 docs per
+    lang by (n_chars desc, doc_id asc)."""
+    d = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("lang", "doc_id", "n_chars", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# --- pipeline aggs -----------------------------------------------------------
+
+def _hourly(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"), F.round(F.sum("value"), 6).alias("v"))
+    )
+
+
+def q_derivative(spark, sf_dir):
+    """derivative (search_aggs_pipeline_derivative.go): lag diff over
+    hourly buckets."""
+    h = _hourly(spark, sf_dir)
+    w = Window.orderBy("h")
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        (F.col("c") - F.lag("c").over(w)).cast("long").alias("deriv"),
+    )
+
+
+def q_cumulative_sum(spark, sf_dir):
+    """cumulative_sum (search_aggs_pipeline_cumulative_sum.go)."""
+    h = _hourly(spark, sf_dir)
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.sum("c").over(w).cast("long").alias("cum"),
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """mov_avg window=3 (search_aggs_pipeline_mov_avg.go)."""
+    h = _hourly(spark, sf_dir)
+    w = Window.orderBy("h").rowsBetween(-2, 0)
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.avg("c").over(w), 6).alias("mov_avg"),
+    )
+
+
+def q_serial_diff(spark, sf_dir):
+    """serial_diff lag=2 (search_aggs_pipeline_serial_diff.go)."""
+    h = _hourly(spark, sf_dir)
+    w = Window.orderBy("h")
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        (F.col("c") - F.lag("c", 2).over(w)).cast("long").alias("sdiff"),
+    )
+
+
+def q_bucket_selector(spark, sf_dir):
+    """bucket_selector = HAVING (search_aggs_pipeline_bucket_selector.go:16)."""
+    h = _hourly(spark, sf_dir)
+    return h.where(F.col("c") > 20).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"), "c"
+    )
+
+
+def q_bucket_script_and_avg_bucket(spark, sf_dir):
+    """bucket_script (v/c ratio per bucket) + avg_bucket / max_bucket
+    second-level aggregation (search_aggs_pipeline_{bucket_script,
+    avg_bucket,max_bucket}.go)."""
+    h = _hourly(spark, sf_dir).withColumn("ratio", F.round(F.col("v") / F.col("c"), 6))
+    return h.agg(
+        F.round(F.avg("c"), 6).alias("avg_bucket_count"),
+        F.max("c").cast("long").alias("max_bucket_count"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+    )
+
+
+_HOURLY_SQL = (
+    "SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS c, round(sum(value), 6) AS v "
+    "FROM events GROUP BY 1"
+)
+
+ENTRIES = {
+    "agg_terms": (q_terms_agg, "SELECT lang, count(*)::BIGINT AS doc_count FROM documents GROUP BY lang"),
+    "agg_histogram": (
+        q_histogram,
+        "SELECT (floor(length(text) / 50) * 50)::BIGINT AS bucket, count(*)::BIGINT AS doc_count "
+        "FROM documents GROUP BY 1",
+    ),
+    "agg_date_histogram": (
+        q_date_histogram,
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+        "count(*)::BIGINT AS doc_count FROM events GROUP BY 1",
+    ),
+    "agg_range": (
+        q_range_agg,
+        "SELECT CASE WHEN length(text) < 100 THEN 'lt100' WHEN length(text) < 300 THEN '100-300' "
+        "ELSE 'gte300' END AS bucket, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1",
+    ),
+    "agg_filters": (
+        q_filters_agg,
+        "SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks, "
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errors, "
+        "sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS big_value FROM events",
+    ),
+    "agg_missing": (
+        q_missing_agg,
+        "SELECT sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing_props FROM events",
+    ),
+    "agg_significant_terms": (
+        q_significant_terms,
+        """WITH toks AS (
+  SELECT doc_id, lang, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM toks GROUP BY term),
+fg AS (SELECT term, count(*)::DOUBLE AS fg_df FROM toks WHERE lang = 'de' GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS bg_n, (SELECT count(*) FROM documents WHERE lang = 'de')::DOUBLE AS fg_n FROM documents)
+SELECT term, round((fg_df / fg_n) / (bg_df / bg_n), 6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN n
+ORDER BY score DESC, term ASC LIMIT 5""",
+    ),
+    "agg_sampler": (
+        q_sampler_agg,
+        None,  # deterministic hash-sample: xxhash64 has no DuckDB twin → rows-only
+    ),
+    "agg_stats": (
+        q_stats_agg,
+        "SELECT count(value)::BIGINT AS n, round(min(value), 6) AS vmin, round(max(value), 6) AS vmax, "
+        "round(sum(value), 6) AS vsum, round(avg(value), 6) AS vavg, round(stddev(value), 6) AS vstd FROM events",
+    ),
+    "agg_extended_stats": (
+        q_extended_stats,
+        """WITH m AS (
+  SELECT count(value)::DOUBLE AS n, avg(value) AS mu, avg(value * value) AS m2r,
+         avg(pow(value, 3)) AS m3r, avg(pow(value, 4)) AS m4r FROM events
+)
+SELECT round(m2r - mu * mu, 6) AS var_pop,
+       round((m3r - 3 * mu * m2r + 2 * pow(mu, 3)) / pow(m2r - mu * mu, 1.5), 6) AS skew_pop,
+       round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4)) / pow(m2r - mu * mu, 2) - 3, 6) AS kurt_pop
+FROM m""",
+    ),
+    "agg_cardinality": (
+        q_cardinality,
+        "SELECT count(DISTINCT user_id)::BIGINT AS users FROM events",
+    ),
+    "agg_percentiles": (
+        q_percentiles,
+        "SELECT round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, "
+        "round(quantile_cont(value, 0.99), 6) AS p99 FROM events",
+    ),
+    "agg_top_hits": (
+        q_top_hits,
+        "SELECT lang, doc_id, n_chars, rn FROM (SELECT lang, doc_id, length(text) AS n_chars, "
+        "row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id ASC)::BIGINT AS rn "
+        "FROM documents) WHERE rn <= 2",
+    ),
+    "pipeline_derivative": (
+        q_derivative,
+        f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        "(c - lag(c) OVER (ORDER BY h))::BIGINT AS deriv FROM h",
+    ),
+    "pipeline_cumulative_sum": (
+        q_cumulative_sum,
+        f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        "sum(c) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM h",
+    ),
+    "pipeline_moving_avg": (
+        q_moving_avg,
+        f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        "round(avg(c) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg FROM h",
+    ),
+    "pipeline_serial_diff": (
+        q_serial_diff,
+        f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        "(c - lag(c, 2) OVER (ORDER BY h))::BIGINT AS sdiff FROM h",
+    ),
+    "pipeline_bucket_selector": (
+        q_bucket_selector,
+        f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, c FROM h WHERE c > 20",
+    ),
+    "pipeline_bucket_script": (
+        q_bucket_script_and_avg_bucket,
+        f"""WITH h AS ({_HOURLY_SQL}), r AS (SELECT *, round(v / c, 6) AS ratio FROM h)
+SELECT round(avg(c), 6) AS avg_bucket_count, max(c)::BIGINT AS max_bucket_count,
+       round(avg(ratio), 6) AS avg_ratio FROM r""",
+    ),
+}

@@ -1,0 +1,389 @@
+"""Compound / scoring combinators + result-shaping services
+(SURVEY.md §2.4).
+
+Reference surface: search_queries_{bool,constant_score,dis_max,
+boosting,fsq,match_all,more_like_this,common_terms,multi_match}.go,
+highlight.go, percolate.go, explain.go.
+
+Composition rule (matches ES/Lucene): every leaf clause produces a
+(doc_id, score) frame; compound operators are joins/arithmetic over
+those frames. Clause scores are rounded to 6 decimals (the engine's
+deterministic-rank contract), and compound totals are re-rounded after
+arithmetic — the oracle SQL applies the identical two-step rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..query.scoring import ROUND_DIGITS, bm25_ctes
+from ..query.wand import bm25_topk
+from ..registry import index_for
+
+K1B = ""  # parameters live in bm25_ctes
+
+
+def _scored(spark, sf_dir, terms, mode="or"):
+    """Leaf match clause → all matching (doc_id, score), score rounded."""
+    return bm25_topk(spark, index_for(spark, sf_dir), terms, mode=mode, return_all=True)
+
+
+def _docstore(spark, sf_dir):
+    return index_for(spark, sf_dir).docstore()
+
+
+# ---------------------------------------------------------------------------
+
+def q_bool(spark, sf_dir):
+    """bool: must match(data) + should match(merge) + must_not lang=zh +
+    filter n_chars>50, top 10 (search_queries_bool.go:13-120)."""
+    must = _scored(spark, sf_dir, ["data"]).withColumnRenamed("score", "sm")
+    should = _scored(spark, sf_dir, ["merge"]).withColumnRenamed("score", "ss")
+    d = _docstore(spark, sf_dir)
+    keep = d.where((F.col("lang") != "zh") & (F.length("text") > 50)).select("doc_id")
+    out = (
+        must.join(should, "doc_id", "left")
+        .join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.round(F.col("sm") + F.coalesce(F.col("ss"), F.lit(0.0)), ROUND_DIGITS).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_constant_score(spark, sf_dir):
+    """constant_score (search_queries_constant_score.go:12): filter + boost."""
+    return (
+        _docstore(spark, sf_dir)
+        .where(F.col("lang") == "de")
+        .select("doc_id", F.lit(1.5).alias("score"))
+    )
+
+
+def q_dis_max(spark, sf_dir):
+    """dis_max with tie_breaker=0.3 (search_queries_dis_max.go:14)."""
+    a = _scored(spark, sf_dir, ["data"]).withColumnRenamed("score", "sa")
+    b = _scored(spark, sf_dir, ["merge"]).withColumnRenamed("score", "sb")
+    j = a.join(b, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("sa", F.lit(0.0)).alias("sa"),
+        F.coalesce("sb", F.lit(0.0)).alias("sb"),
+    )
+    best = F.greatest("sa", "sb")
+    total = best + 0.3 * (F.col("sa") + F.col("sb") - best)
+    out = j.select("doc_id", F.round(total, ROUND_DIGITS).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_boosting(spark, sf_dir):
+    """boosting: demote docs matching the negative clause by 0.4
+    (search_queries_boosting.go:11)."""
+    pos = _scored(spark, sf_dir, ["data"])
+    neg = _scored(spark, sf_dir, ["dup"]).select("doc_id", F.lit(1).alias("_neg"))
+    out = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.when(F.col("_neg").isNotNull(), F.col("score") * 0.4).otherwise(F.col("score")),
+            ROUND_DIGITS,
+        ).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_function_score(spark, sf_dir):
+    """function_score with exp decay on n_chars around 128
+    (search_queries_fsq.go:14, fsq_score_funcs.go)."""
+    s = _scored(spark, sf_dir, ["scan"])
+    d = _docstore(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
+    out = s.join(d, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score") * F.exp(-F.abs(F.col("n_chars") - 128) / F.lit(200.0)),
+            ROUND_DIGITS,
+        ).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_match_all(spark, sf_dir):
+    """match_all (search_queries_match_all.go:12)."""
+    return _docstore(spark, sf_dir).select("doc_id", F.lit(1.0).alias("score"))
+
+
+def q_more_like_this(spark, sf_dir):
+    """more_like_this (search_queries_more_like_this.go:17): top-3 tf
+    terms of doc 7 → OR match, source doc excluded."""
+    from ..analyzer import tokens_col
+
+    d = _docstore(spark, sf_dir)
+    toks = (
+        d.where(F.col("doc_id") == 7)
+        .select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(3)
+        .collect()
+    )
+    terms = [r["term"] for r in toks]
+    out = _scored(spark, sf_dir, terms).where(F.col("doc_id") != 7)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_common_terms(spark, sf_dir):
+    """common_terms (search_queries_common_terms.go:12): rare term
+    'dup' required; high-df term 'the' contributes score only on docs
+    already matching the rare term."""
+    low = _scored(spark, sf_dir, ["dup"]).withColumnRenamed("score", "sl")
+    high = _scored(spark, sf_dir, ["the"]).withColumnRenamed("score", "sh")
+    out = low.join(high, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("sl") + F.coalesce("sh", F.lit(0.0)), ROUND_DIGITS).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_multi_match(spark, sf_dir):
+    """multi_match best_fields over (text, url) with tie_breaker=0
+    (search_queries_multi_match.go): score = max of per-field BM25."""
+    from ..query.scoring import bm25_naive
+
+    terms = ["spark", "site42"]
+    d = _docstore(spark, sf_dir)
+    st = _scored(spark, sf_dir, terms).withColumnRenamed("score", "s_text")
+    su = (
+        bm25_naive(d.select("doc_id", F.col("url").alias("text")), terms, mode="or", k=None)
+        .withColumnRenamed("score", "s_url")
+    )
+    j = st.join(su, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("s_text", F.lit(0.0)).alias("s_text"),
+        F.coalesce("s_url", F.lit(0.0)).alias("s_url"),
+    )
+    out = j.select(
+        "doc_id", F.round(F.greatest("s_text", "s_url"), ROUND_DIGITS).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_highlight(spark, sf_dir):
+    """highlight (highlight.go:10-330): fragment ±30 chars around the
+    first 'dup' occurrence in its top-scored doc, <em>-tagged."""
+    s = bm25_topk(spark, index_for(spark, sf_dir), ["dup"], k=1)
+    d = _docstore(spark, sf_dir).select("doc_id", "text")
+    pos = F.locate("dup", F.col("text"))
+    frag_start = F.greatest(pos - 30, F.lit(1))
+    frag = F.substring(F.col("text"), frag_start, 63)
+    return s.join(d, "doc_id").select(
+        "doc_id",
+        "score",
+        F.regexp_replace(frag, "dup", "<em>dup</em>").alias("fragment"),
+    )
+
+
+def q_percolate(spark, sf_dir):
+    """percolate (percolate.go:18): stored queries evaluated against one
+    new document — reverse search."""
+    from ..analyzer import tokens_col
+
+    stored = spark.createDataFrame(
+        [(0, ["dup"], "or"), (1, ["data", "merge"], "and"), (2, ["zzznope"], "or")],
+        "query_id int, terms array<string>, mode string",
+    )
+    doc = (
+        _docstore(spark, sf_dir)
+        .where(F.col("doc_id") == 55)
+        .select(tokens_col("text").alias("t"))
+    )
+    j = stored.crossJoin(F.broadcast(doc))
+    matched_n = F.size(F.array_intersect(F.col("terms"), F.col("t")))
+    ok = F.when(F.col("mode") == "and", matched_n == F.size("terms")).otherwise(matched_n > 0)
+    return j.where(ok).select("query_id")
+
+
+def q_explain(spark, sf_dir):
+    """explain (explain.go): per-term BM25 score components for
+    query 'data merge' on doc 446."""
+    reader = index_for(spark, sf_dir)
+    from ..analyzer import tokens_col
+
+    d = reader.docstore()
+    n, avgdl = reader.n_docs, reader.avgdl
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .where(F.col("term").isin("data", "merge"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dl = d.select("doc_id", F.size(tokens_col("text")).alias("dl"))
+    row = (
+        tf.where(F.col("doc_id") == 446)
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("idf", F.round(F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)), ROUND_DIGITS))
+        .withColumn(
+            "tfpart",
+            F.round(
+                F.col("tf") * 2.2 / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+                ROUND_DIGITS,
+            ),
+        )
+    )
+    return row.select("term", "tf", "df", "idf", "tfpart")
+
+
+def _topk_sql(body_terms, select_expr, extra_joins="", where="", k=10):
+    return (
+        f"WITH {bm25_ctes(body_terms)} "
+        f"SELECT doc_id, {select_expr} AS score FROM persc {extra_joins} "
+        f"{where} GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+_R = 6  # ROUND_DIGITS in SQL
+
+
+ENTRIES = {
+    "bool_query": (
+        q_bool,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+, cl AS (
+  SELECT doc_id,
+         round(sum(s) FILTER (WHERE term = 'data'), {_R}) AS sm,
+         round(sum(s) FILTER (WHERE term = 'merge'), {_R}) AS ss
+  FROM persc GROUP BY doc_id
+)
+SELECT cl.doc_id, round(cl.sm + coalesce(cl.ss, 0), {_R}) AS score
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+WHERE cl.sm IS NOT NULL AND d.lang <> 'zh' AND length(d.text) > 50
+ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
+    "constant_score": (
+        q_constant_score,
+        "SELECT doc_id, 1.5::DOUBLE AS score FROM documents WHERE lang = 'de'",
+    ),
+    "dis_max": (
+        q_dis_max,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+, cl AS (
+  SELECT doc_id,
+         coalesce(round(sum(s) FILTER (WHERE term = 'data'), {_R}), 0) AS sa,
+         coalesce(round(sum(s) FILTER (WHERE term = 'merge'), {_R}), 0) AS sb
+  FROM persc GROUP BY doc_id
+)
+SELECT doc_id, round(greatest(sa, sb) + 0.3 * (sa + sb - greatest(sa, sb)), {_R}) AS score
+FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "boosting": (
+        q_boosting,
+        f"""WITH {bm25_ctes(['data', 'dup'])}
+, cl AS (
+  SELECT doc_id,
+         round(sum(s) FILTER (WHERE term = 'data'), {_R}) AS sp,
+         count(*) FILTER (WHERE term = 'dup') AS neg
+  FROM persc GROUP BY doc_id
+)
+SELECT doc_id, round(CASE WHEN neg > 0 THEN sp * 0.4 ELSE sp END, {_R}) AS score
+FROM cl WHERE sp IS NOT NULL ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "function_score_decay": (
+        q_function_score,
+        f"""WITH {bm25_ctes(['scan'])}
+, cl AS (SELECT doc_id, round(sum(s), {_R}) AS sp FROM persc GROUP BY doc_id)
+SELECT cl.doc_id, round(sp * exp(-abs(length(d.text) - 128) / 200.0), {_R}) AS score
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
+    "match_all": (q_match_all, "SELECT doc_id, 1.0::DOUBLE AS score FROM documents"),
+    "more_like_this": (
+        q_more_like_this,
+        f"""WITH {bm25_ctes(None)}
+, mlt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE doc_id = 7 GROUP BY term
+  ) ORDER BY tf DESC, term ASC LIMIT 3
+)
+SELECT doc_id, round(sum(s), {_R}) AS score
+FROM persc WHERE term IN (SELECT term FROM mlt) AND doc_id <> 7
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "common_terms": (
+        q_common_terms,
+        f"""WITH {bm25_ctes(['dup', 'the'])}
+, cl AS (
+  SELECT doc_id,
+         round(sum(s) FILTER (WHERE term = 'dup'), {_R}) AS sl,
+         round(sum(s) FILTER (WHERE term = 'the'), {_R}) AS sh
+  FROM persc GROUP BY doc_id
+)
+SELECT doc_id, round(sl + coalesce(sh, 0), {_R}) AS score
+FROM cl WHERE sl IS NOT NULL ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "multi_match": (
+        q_multi_match,
+        f"""WITH {bm25_ctes(['spark', 'site42'])}
+, turl AS (
+  SELECT doc_id, regexp_extract_all(lower('https://site' || (doc_id % 97) || '.example/page/' || doc_id), '[a-z0-9]+') AS t
+  FROM documents
+),
+udl AS (SELECT doc_id, len(t) AS dl FROM turl),
+ustats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM udl),
+utf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM turl)
+  WHERE term IN ('spark', 'site42') GROUP BY doc_id, term
+),
+udf_ AS (SELECT term, count(*)::DOUBLE AS df FROM utf GROUP BY term),
+upersc AS (
+  SELECT utf.doc_id,
+         ln(1 + (ustats.n - udf_.df + 0.5) / (udf_.df + 0.5))
+         * utf.tf * 2.2 / (utf.tf + 1.2 * (1 - 0.75 + 0.75 * udl.dl / ustats.avgdl)) AS s
+  FROM utf JOIN udf_ USING (term) JOIN udl USING (doc_id) CROSS JOIN ustats
+),
+stext AS (SELECT doc_id, round(sum(s), {_R}) AS sv FROM persc GROUP BY doc_id),
+surl AS (SELECT doc_id, round(sum(s), {_R}) AS sv FROM upersc GROUP BY doc_id),
+bothf AS (
+  SELECT coalesce(stext.doc_id, surl.doc_id) AS doc_id,
+         coalesce(stext.sv, 0) AS s_text, coalesce(surl.sv, 0) AS s_url
+  FROM stext FULL JOIN surl ON stext.doc_id = surl.doc_id
+)
+SELECT doc_id, round(greatest(s_text, s_url), {_R}) AS score
+FROM bothf ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "highlight": (
+        q_highlight,
+        f"""WITH {bm25_ctes(['dup'])}
+, top1 AS (
+  SELECT doc_id, round(sum(s), {_R}) AS score FROM persc
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT t.doc_id, t.score,
+       replace(substr(d.text, greatest(strpos(d.text, 'dup') - 30, 1), 63), 'dup', '<em>dup</em>') AS fragment
+FROM top1 t JOIN documents d ON d.doc_id = t.doc_id""",
+    ),
+    "percolate": (
+        q_percolate,
+        """WITH doct AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents WHERE doc_id = 55
+),
+stored(query_id, terms, mode) AS (
+  VALUES (0, ['dup'], 'or'), (1, ['data', 'merge'], 'and'), (2, ['zzznope'], 'or')
+)
+SELECT query_id FROM stored, doct
+WHERE CASE WHEN mode = 'and'
+           THEN len(list_intersect(terms, t)) = len(terms)
+           ELSE len(list_intersect(terms, t)) > 0 END""",
+    ),
+    "explain": (
+        q_explain,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+SELECT tf.term, tf.tf, dfreq.df,
+       round(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), {_R}) AS idf,
+       round(tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), {_R}) AS tfpart
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.doc_id = 446""",
+    ),
+}

@@ -1,0 +1,157 @@
+"""Training-data pipeline entries: dedup, similarity, text analysis,
+multimodal plumbing (driver gate over documents/embeddings tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..pipeline import dedup as D
+from ..pipeline import similarity as S
+from ..pipeline import textstats as T
+from ..registry import index_for
+
+
+def _docs(spark, sf_dir):
+    return index_for(spark, sf_dir).docstore().select("doc_id", "text")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands × 2) → exact-Jaccard verify ≥ 0.5."""
+    docs = _docs(spark, sf_dir)
+    sig = D.minhash_signatures(docs, k=8)
+    pairs = D.minhash_candidate_pairs(sig, k=8, rows_per_band=2)
+    return D.shingle_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
+
+
+def q_sim_pairs_exact(spark, sf_dir):
+    """Exact shingle-Jaccard top-5 pairs among doc_id < 60 (the n²
+    baseline the LSH path approximates)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
+    a = docs.select(F.col("doc_id").alias("a"))
+    b = docs.select(F.col("doc_id").alias("b"))
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    j = D.shingle_jaccard(docs, pairs)
+    return j.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash32(_docs(spark, sf_dir).where(F.col("doc_id") < 50))
+
+
+def q_ann_brute(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return S.lsh_ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal metadata plumbing over the html binary column
+    (webpages-shaped input; decode kernels stubbed — pipeline/
+    multimodal.py)."""
+    from ..pipeline.multimodal import binary_metadata
+    from ..webpages import webpages
+
+    wp = webpages(spark, sf_dir)
+    return binary_metadata(wp, bin_col="html").select("doc_id", "n_bytes", "kind")
+
+
+_SHINGLE = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END)"
+)
+_H60 = "cast(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sql(where: str = "") -> str:
+    mh = ", ".join(
+        "min(" + _H60.format(x=f"sh || '#{i}'") + f") AS mh_{i}" for i in range(8)
+    )
+    return f"""tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents {where}),
+shg AS (SELECT doc_id, unnest({_SHINGLE}) AS sh FROM tk),
+sig AS (SELECT doc_id, {mh} FROM shg GROUP BY doc_id)"""
+
+
+_JACCARD_PAIR = """
+SELECT p.a, p.b,
+       round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 6) AS jaccard
+FROM pairs p
+JOIN shs sa ON sa.doc_id = p.a
+JOIN shs sb ON sb.doc_id = p.b"""
+
+
+ENTRIES = {
+    "dedup_exact": (
+        q_dedup_exact,
+        f"""WITH g AS (SELECT {_H60.format(x='text')} AS chash, count(*) AS c FROM documents GROUP BY 1)
+SELECT sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_unique, (sum(c) - count(*))::BIGINT AS n_dups FROM g""",
+    ),
+    "dedup_minhash_lsh": (
+        q_dedup_minhash,
+        f"""WITH {_minhash_sql()},
+bands AS (
+  SELECT doc_id, b.band, CASE b.band
+    WHEN 0 THEN mh_0 || '|' || mh_1 WHEN 1 THEN mh_2 || '|' || mh_3
+    WHEN 2 THEN mh_4 || '|' || mh_5 ELSE mh_6 || '|' || mh_7 END AS bkey
+  FROM sig, (SELECT unnest(range(4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+shs AS (SELECT doc_id, {_SHINGLE} AS s FROM tk)
+SELECT * FROM ({_JACCARD_PAIR}) WHERE jaccard >= 0.5""",
+    ),
+    "sim_pairs_exact": (
+        q_sim_pairs_exact,
+        f"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents WHERE doc_id < 60),
+shs AS (SELECT doc_id, {_SHINGLE} AS s FROM tk),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b FROM shs x JOIN shs y ON x.doc_id < y.doc_id)
+SELECT * FROM ({_JACCARD_PAIR}) ORDER BY jaccard DESC, a ASC, b ASC LIMIT 5""",
+    ),
+    "dedup_simhash": (
+        q_dedup_simhash,
+        D.simhash32_sql(where="WHERE doc_id < 50"),
+    ),
+    "ann_cosine_brute": (
+        q_ann_brute,
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM e, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    ),
+    "ann_lsh": (q_ann_lsh, None),  # hyperplane planes are md5-python-seeded; verified vs brute in pytest
+    "text_lang_id": (q_lang_id, T.LANG_ID_SQL),
+    "text_quality": (q_quality, T.QUALITY_SQL),
+    "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),
+    "text_fingerprint": (q_fingerprint, T.FINGERPRINT_SQL),
+    "binary_metadata": (q_binary_meta, None),  # html column exists only engine-side
+}

@@ -1,0 +1,218 @@
+"""Term-level / structured predicate operators (SURVEY.md §2.4).
+
+Reference surface: vendor/gopkg.in/olivere/elastic.v3/
+search_queries_{term,terms,range,prefix,wildcard,regexp,fuzzy,ids,
+exists,missing}.go, plus retrieval services (get, count, sort,
+scroll/keyset pagination) from search.go / sort.go / scroll.go.
+
+All of these run against the engine's *docstore* (stored fields) or
+the *term dictionary* — exactly where ES serves them from. Catalyst
+pushes every predicate into the parquet scan (PushedFilters), which is
+the 100 TB story: a `term` filter on a sorted column reads only
+matching row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import index_for
+
+# n_chars in the oracle views equals length(text); the docstore derives
+# it the same way, so both sides compute from first principles.
+
+
+def _docstore(spark, sf_dir):
+    return index_for(spark, sf_dir).docstore()
+
+
+# --- term / terms / range / ids / exists ---------------------------------
+
+def q_term_lang(spark, sf_dir):
+    """`term` exact match (search_queries_term.go:12) — filter context."""
+    return _docstore(spark, sf_dir).where(F.col("lang") == "de").select("doc_id", "lang")
+
+
+def q_terms_lang(spark, sf_dir):
+    """`terms` (search_queries_terms.go:12) — isin."""
+    return (
+        _docstore(spark, sf_dir)
+        .where(F.col("lang").isin("fr", "es"))
+        .select("doc_id", "lang")
+    )
+
+
+def q_range_nchars(spark, sf_dir):
+    """`range` gt/lte (search_queries_range.go:11-76) on a derived numeric."""
+    d = _docstore(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return d.where((F.col("n_chars") > 100) & (F.col("n_chars") <= 200)).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_range_ts(spark, sf_dir):
+    """`range` on timestamps — partition/min-max prunable at scale."""
+    d = _docstore(spark, sf_dir)
+    return d.where(
+        (F.col("warc_ts") >= F.lit("2024-01-01 00:30:00").cast("timestamp"))
+        & (F.col("warc_ts") < F.lit("2024-01-01 01:00:00").cast("timestamp"))
+    ).select("doc_id", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"))
+
+
+def q_ids(spark, sf_dir):
+    """`ids` (search_queries_ids.go:12)."""
+    return _docstore(spark, sf_dir).where(F.col("doc_id").isin(3, 141, 468)).select(
+        "doc_id", "lang"
+    )
+
+
+def q_exists(spark, sf_dir):
+    """`exists` (search_queries_exists.go:12) — count of docs with lang."""
+    return (
+        _docstore(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# --- term-dictionary walks: prefix / wildcard / regexp / fuzzy ------------
+
+def _term_dict(spark, sf_dir):
+    return index_for(spark, sf_dir).term_strings()
+
+
+def q_prefix_terms(spark, sf_dir):
+    """`prefix` (search_queries_prefix.go:12) over the term dictionary."""
+    return _term_dict(spark, sf_dir).where(F.col("term").startswith("s")).select(
+        "term", "df"
+    )
+
+
+def q_wildcard_terms(spark, sf_dir):
+    """`wildcard` (search_queries_wildcard.go:17): s*n via LIKE."""
+    return _term_dict(spark, sf_dir).where(F.col("term").like("s%n")).select("term", "df")
+
+
+def q_regexp_terms(spark, sf_dir):
+    """`regexp` (search_queries_regexp.go:11)."""
+    return _term_dict(spark, sf_dir).where(F.col("term").rlike("^[bc].*h$")).select(
+        "term", "df"
+    )
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """`fuzzy` (search_queries_fuzzy.go:12): levenshtein <= 1 over the
+    dictionary — doubles as the `term` suggester (suggester_term.go:9)."""
+    return (
+        _term_dict(spark, sf_dir)
+        .where(F.levenshtein(F.col("term"), F.lit("scann")) <= 1)
+        .select("term", "df")
+    )
+
+
+# --- retrieval services ----------------------------------------------------
+
+def q_get_by_id(spark, sf_dir):
+    """get-by-id point lookup (get.go:23; reference verifies docs this
+    way: river/river_test.go:275-296)."""
+    return _docstore(spark, sf_dir).where(F.col("doc_id") == 42).select(
+        "doc_id", "url", "lang", F.length("text").alias("n_chars")
+    )
+
+
+def q_count(spark, sf_dir):
+    """count API (count.go:20) — served from the term dictionary, no
+    postings decode."""
+    from ..query.wand import term_ids
+
+    reader = index_for(spark, sf_dir)
+    tid = term_ids(spark, ["dup"])["dup"]
+    return reader.global_dict().where(F.col("tid") == tid).select(
+        F.col("df").cast("long").alias("n")
+    )
+
+
+def q_sort_top(spark, sf_dir):
+    """sort by field desc + deterministic tie-break (sort.go:20-501)."""
+    d = _docstore(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_keyset_page(spark, sf_dir):
+    """scroll/scan as keyset pagination (scroll.go:20, scan.go:30):
+    page of 20 after doc_id 100, ordered by doc_id."""
+    d = _docstore(spark, sf_dir)
+    return (
+        d.where(F.col("doc_id") > 100)
+        .select("doc_id", "lang")
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_TS = "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id * 17)"
+
+ENTRIES = {
+    "term_lang": (q_term_lang, "SELECT doc_id, lang FROM documents WHERE lang = 'de'"),
+    "terms_lang": (q_terms_lang, "SELECT doc_id, lang FROM documents WHERE lang IN ('fr','es')"),
+    "range_nchars": (
+        q_range_nchars,
+        "SELECT doc_id, length(text) AS n_chars FROM documents "
+        "WHERE length(text) > 100 AND length(text) <= 200",
+    ),
+    "range_ts": (
+        q_range_ts,
+        f"SELECT doc_id, strftime({_TS}, '%Y-%m-%d %H:%M:%S') AS ts FROM documents "
+        f"WHERE {_TS} >= TIMESTAMP '2024-01-01 00:30:00' AND {_TS} < TIMESTAMP '2024-01-01 01:00:00'",
+    ),
+    "ids": (q_ids, "SELECT doc_id, lang FROM documents WHERE doc_id IN (3, 141, 468)"),
+    "exists_lang": (q_exists, "SELECT count(*)::BIGINT AS n FROM documents WHERE lang IS NOT NULL"),
+    "prefix_terms": (
+        q_prefix_terms,
+        "SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
+        "WHERE term LIKE 's%' GROUP BY term",
+    ),
+    "wildcard_terms": (
+        q_wildcard_terms,
+        "SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
+        "WHERE term LIKE 's%n' GROUP BY term",
+    ),
+    "regexp_terms": (
+        q_regexp_terms,
+        "SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
+        "WHERE regexp_matches(term, '^[bc].*h$') GROUP BY term",
+    ),
+    "fuzzy_terms": (
+        q_fuzzy_terms,
+        "SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
+        "WHERE levenshtein(term, 'scann') <= 1 GROUP BY term",
+    ),
+    "get_by_id": (
+        q_get_by_id,
+        "SELECT doc_id, 'https://site' || (doc_id % 97) || '.example/page/' || doc_id AS url, "
+        "lang, length(text) AS n_chars FROM documents WHERE doc_id = 42",
+    ),
+    "count_term": (
+        q_count,
+        "SELECT count(*)::BIGINT AS n FROM (SELECT doc_id FROM (SELECT doc_id, unnest("
+        "regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents) "
+        "WHERE term = 'dup' GROUP BY doc_id)",
+    ),
+    "sort_top": (
+        q_sort_top,
+        "SELECT doc_id, length(text) AS n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+    ),
+    "keyset_page": (
+        q_keyset_page,
+        "SELECT doc_id, lang FROM documents WHERE doc_id > 100 ORDER BY doc_id LIMIT 20",
+    ),
+}

@@ -1,0 +1,148 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All hash functions are md5-derived (``conv(substr(md5(x),1,N),16,10)``)
+so the DuckDB oracle computes bit-identical values — and, at scale,
+md5 is computed JVM-side inside whole-stage codegen (no Python).
+
+Scale notes:
+- exact dedup: one groupBy on the content hash — the canonical
+  shuffle-on-key dedup; AQE handles skew from giant duplicate classes.
+- MinHash LSH: shingle → K minhashes → B bands → self-join on band
+  key. The band join is the only quadratic-risk step and is bounded
+  per bucket; candidate pairs then verify exact Jaccard. This is the
+  standard 10^12-doc near-dup pipeline (each stage is a shuffle on a
+  uniform key).
+- SimHash: 32 conditional sums over (doc, term, tf) — pure Catalyst,
+  no UDF; hamming-distance pairing via band join on hash prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analyzer import tokens_col
+
+# md5-based hash → bigint, identical in DuckDB:
+#   cast(('0x' || substr(md5(x), 1, 15)) as bigint)
+def h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h32(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles_col(text_col="text", n: int = 3) -> F.Column:
+    """Distinct token n-gram shingles (order-sensitive — unlike token
+    sets, random bag-of-words docs share almost no shingles)."""
+    t = tokens_col(text_col)
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
+    return F.array_distinct(F.transform(idx, lambda i: gram(i)))
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy; returns corpus stats."""
+    g = docs.select(h60(F.col("text")).alias("chash")).groupBy("chash").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dups"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — min over shingles of h60(shingle#i)."""
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("sh"))
+    aggs = [
+        F.min(h60(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidates."""
+    n_bands = k // rows_per_band
+    bands = None
+    for b in range(n_bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def shingle_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs."""
+    sh = docs.select("doc_id", shingles_col().alias("s"))
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash32(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over tf-weighted token hashes,
+    expressed as 32 conditional sums (pure Catalyst, whole-stage
+    codegen; no UDF)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("h", h32(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash32_sql(table: str = "documents", where: str = "") -> str:
+    """The identical computation as DuckDB SQL (oracle)."""
+    bit_sums = ", ".join(
+        f"sum(tf * ((((h >> {j}) & 1) * 2) - 1)) AS s{j}" for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(32))
+    return f"""WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         cast(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM {table} {where})
+  GROUP BY doc_id, term
+),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums"""

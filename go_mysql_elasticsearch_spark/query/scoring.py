@@ -98,16 +98,54 @@ def bm25_naive(docs: DataFrame, terms: list[str], mode: str = "or", k: int = 10)
     )
     if mode == "and":
         scored = scored.where(F.col("matched") == len(terms))
-    return (
-        scored.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = scored.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+    if k is None:
+        return out  # full scored set, no global sort (set semantics)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (driver correctness gate)
 # ---------------------------------------------------------------------------
+
+def bm25_ctes(
+    all_terms: list[str] | None,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Composable WITH-body: toks/dl/stats/tf/dfreq/persc CTEs.
+
+    ``persc(doc_id, term, s)`` holds the per-(doc, term) BM25
+    contribution for every term in ``all_terms`` (None = all terms —
+    used when the term set is itself SQL-derived, e.g. more_like_this);
+    compound operators (bool/dis_max/boosting/...) aggregate filtered
+    sums over it.
+    """
+    if all_terms is None:
+        term_filter = ""
+    else:
+        in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in all_terms)
+        term_filter = f"WHERE term IN ({in_list})"
+    k1, b = BM25_K1, BM25_B
+    return f"""toks AS (
+  SELECT {id_col} AS doc_id, {duckdb_tokens_sql(text_expr)} AS t FROM {table}
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  {term_filter}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)"""
 
 def bm25_oracle_sql(
     terms: list[str],

@@ -173,6 +173,25 @@ def _wand_or(lists: list[_TermIter], k: int, min_should: int, dead: frozenset) -
     return [(-nd, s) for s, nd in heap]
 
 
+def _or_full(lists: list[_TermIter], min_should: int, dead: frozenset) -> list[tuple[int, float]]:
+    """Exhaustive OR evaluation (return_all path for compound-query
+    composition): decode everything, vectorized group-sum per doc."""
+    docs_cat, score_cat = [], []
+    for L in lists:
+        d, t, l = L.decode_all()
+        docs_cat.append(d)
+        score_cat.append(L.idf * tfpart(t, l, L.avgdl))
+    docs_cat = np.concatenate(docs_cat)
+    score_cat = np.concatenate(score_cat)
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, score_cat)
+    keep = np.bincount(inv) >= min_should
+    if dead:
+        keep &= ~np.isin(uniq, np.fromiter(dead, dtype=np.int64))
+    return list(zip(uniq[keep].tolist(), np.round(sums[keep], ROUND_DIGITS).tolist()))
+
+
 def _and_intersect(lists: list[_TermIter], n_terms: int, k: int, dead: frozenset,
                    return_all: bool) -> list[tuple[int, float]]:
     """Conjunctive mode: vectorized multi-way intersection + score."""
@@ -223,6 +242,8 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
         ]
         if mode == "and":
             hits = _and_intersect(lists, n_terms, k, dead, return_all)
+        elif return_all:
+            hits = _or_full(lists, min_should, dead)
         else:
             hits = _wand_or(lists, k, min_should, dead)
         return pd.DataFrame(hits, columns=["doc_id", "raw"]).astype(

@@ -81,14 +81,20 @@ def _phrase_query(phrase: str):
 
 
 def build_queries() -> dict:
+    from .entries import all_entries
+
     q = {}
     for name, (terms, mode) in _MATCH_FIXTURES.items():
         q[name] = _match_query(terms, mode)
     q["bm25_match_phrase"] = _phrase_query(_PHRASE_FIXTURE)
+    for name, (fn, _sql) in all_entries().items():
+        q[name] = fn
     return q
 
 
 def build_oracles() -> dict[str, str]:
+    from .entries import all_entries
+
     o = {}
     for name, (terms, mode) in _MATCH_FIXTURES.items():
         o[name] = bm25_oracle_sql(terms, mode=mode, k=10)
@@ -96,4 +102,7 @@ def build_oracles() -> dict[str, str]:
     o["bm25_match_phrase"] = bm25_oracle_sql(
         list(dict.fromkeys(pw)), mode="phrase", k=10, phrase=pw
     )
+    for name, (_fn, sql) in all_entries().items():
+        if sql is not None:
+            o[name] = sql
     return o

@@ -1,0 +1,101 @@
+"""Dedup / similarity / multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_mysql_elasticsearch_spark.pipeline import dedup as D
+from go_mysql_elasticsearch_spark.pipeline import multimodal as M
+from go_mysql_elasticsearch_spark.pipeline import similarity as S
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    """LSH candidates must contain every pair with Jaccard >= 0.9 (high
+    similarity ⇒ bands collide w.h.p.; at J=0.9, P[miss] = (1-.81)^4 ≈ 0.001)."""
+    sig = D.minhash_signatures(docs, k=8)
+    cand = D.minhash_candidate_pairs(sig, k=8, rows_per_band=2)
+    got = {(r["a"], r["b"]) for r in cand.collect()}
+    # ground truth: exact jaccard over all pairs
+    a = docs.select(F.col("doc_id").alias("a"))
+    pairs = a.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(F.col("a") < F.col("b"))
+    truth = {
+        (r["a"], r["b"])
+        for r in D.shingle_jaccard(docs, pairs).where(F.col("jaccard") >= 0.9).collect()
+    }
+    assert truth, "corpus should contain planted near-duplicates"
+    missed = truth - got
+    assert len(missed) <= max(1, len(truth) // 20), f"LSH missed too many: {missed}"
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    """Near-dup pairs (J>=0.9) have small simhash hamming distance."""
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    a = docs.select(F.col("doc_id").alias("a"))
+    pairs = a.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(F.col("a") < F.col("b"))
+    jac = D.shingle_jaccard(docs, pairs).collect()
+    near = [(r["a"], r["b"]) for r in jac if r["jaccard"] >= 0.9]
+    far = [(r["a"], r["b"]) for r in jac if r["jaccard"] <= 0.05][:200]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    near_d = [ham(sh[a_], sh[b_]) for a_, b_ in near]
+    far_d = [ham(sh[a_], sh[b_]) for a_, b_ in far]
+    assert near_d and max(near_d) <= 8
+    assert np.mean(far_d) > np.mean(near_d) + 4
+
+
+def test_ann_lsh_finds_planted_neighbor(spark, emb):
+    """A planted near-duplicate vector lands in the same LSH bucket and
+    must be retrieved with cos ≈ 1 (true-neighbor guarantee; the corpus
+    embeddings are near-random, max cos ≈ 0.33, so recall is only
+    meaningful on planted neighbors)."""
+    twin = emb.where(F.col("vec_id") == 0).select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb2 = emb.unionByName(twin)
+    approx = {r["vec_id"]: r["cos"] for r in S.lsh_ann_topk(emb2, 0, k=5).collect()}
+    assert approx.get(9001) == 1.0
+    # scores of ids shared with brute force are identical (same exact re-rank)
+    brute = {r["vec_id"]: r["cos"] for r in S.cosine_topk(emb2, 0, k=5).collect()}
+    for v in set(brute) & set(approx):
+        assert brute[v] == approx[v]
+
+
+def test_binary_metadata_and_fake_features(spark):
+    from go_mysql_elasticsearch_spark.webpages import webpages
+
+    wp = webpages(spark, SF_SMALL).limit(20)
+    meta = M.binary_metadata(wp, bin_col="html").collect()
+    assert all(r["kind"] == "text/html" and r["n_bytes"] > 50 for r in meta)
+    feats = M.fake_features(wp, bin_col="html").collect()
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in feats)
+    # deterministic: same input → same features
+    f2 = {r["doc_id"]: list(r["feature"]) for r in M.fake_features(wp, bin_col="html").collect()}
+    for r in feats:
+        assert list(r["feature"]) == f2[r["doc_id"]]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG....")
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    from go_mysql_elasticsearch_spark.pipeline.textstats import fingerprint
+
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[3] != fps[2]
