@@ -57,7 +57,49 @@ class IndexReader:
         return self._union("postings.parquet")
 
     def docstore(self) -> DataFrame:
-        return self._union("docs.parquet")
+        """Live stored fields: tombstoned (doc_id, segment ≤ upto_seg)
+        versions are filtered out (upsert = tombstone old + new segment,
+        reference K2-K4 semantics)."""
+        d = self._union("docs.parquet")
+        tomb = self.tombstones()
+        if tomb is None:
+            return d
+        t = tomb.select(F.col("doc_id").alias("_tdoc"), F.col("upto_seg").alias("_tseg"))
+        return (
+            d.join(
+                F.broadcast(t),
+                (d["doc_id"] == t["_tdoc"]) & (d["segment"].cast("int") <= t["_tseg"]),
+                "left_anti",
+            )
+        )
+
+    def decode_postings(self) -> DataFrame:
+        """Flat (segment, tid, shard, doc_id, tf, dl) rows from packed
+        blocks — debugging / invariant-testing view of the index."""
+        import pandas as pd
+
+        from .codec import unpack_block
+
+        def unpack(batches):
+            for pdf in batches:
+                segs, tids, shards, docs, tfs, dls = [], [], [], [], [], []
+                for r in pdf.itertuples(index=False):
+                    d, t, l = unpack_block(r.docs_vb, r.tfs_vb, r.dls_vb)
+                    n = len(d)
+                    segs.extend([r.segment] * n)
+                    tids.extend([r.tid] * n)
+                    shards.extend([r.shard] * n)
+                    docs.extend(d.astype("int64").tolist())
+                    tfs.extend(t.astype("int64").tolist())
+                    dls.extend(l.astype("int64").tolist())
+                yield pd.DataFrame(
+                    {"segment": segs, "tid": tids, "shard": shards,
+                     "doc_id": docs, "tf": tfs, "dl": dls}
+                )
+
+        return self.postings().mapInPandas(
+            unpack, schema="segment string, tid long, shard int, doc_id long, tf long, dl long"
+        )
 
     def global_dict(self) -> DataFrame:
         """(tid, df, max_tf) across segments — the idf source.
@@ -102,7 +144,12 @@ class IndexReader:
         return self.spark.read.parquet(p)
 
     def tombstones(self) -> DataFrame | None:
+        """(doc_id, upto_seg): the doc's postings in segments ≤ upto_seg
+        are dead. Segment-scoped so an upsert's re-added doc (in a NEWER
+        segment) stays live."""
         p = os.path.join(self.index_dir, "tombstones.parquet")
-        if glob.glob(os.path.join(p, "*.parquet")) or os.path.exists(p):
-            return self.spark.read.parquet(p)
+        if glob.glob(os.path.join(p, "*.parquet")):
+            return self.spark.read.parquet(p).groupBy("doc_id").agg(
+                F.max("upto_seg").alias("upto_seg")
+            )
         return None

@@ -233,9 +233,14 @@ def term_ids(spark: SparkSession, terms: list[str]) -> dict[str, int]:
 
 
 def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
-                       min_should: int, dead: frozenset, n_terms: int,
+                       min_should: int, dead_upto: dict[int, int], n_terms: int,
                        return_all: bool = False):
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # segment-scoped tombstones: a doc is dead in THIS group iff its
+        # tombstone covers this group's segment (upsert re-adds live in
+        # newer segments)
+        seg = int(pdf["segment"].iloc[0])
+        dead = frozenset(d for d, u in dead_upto.items() if seg <= u)
         lists = [
             _TermIter(idfs[tid], g, avgdl)
             for tid, g in pdf.groupby("tid", sort=True)
@@ -280,10 +285,12 @@ def bm25_topk(
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}
     tomb = reader.tombstones()
-    dead = frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None else frozenset()
+    dead_upto = (
+        {r["doc_id"]: int(r["upto_seg"]) for r in tomb.collect()} if tomb is not None else {}
+    )
 
     matched = reader.postings().where(F.col("tid").isin(list(dfs)))
-    scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead, n_terms, return_all)
+    scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all)
     local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
     out = out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,128 @@
+"""CDC-equivalent incremental index maintenance.
+
+Reference parity (SURVEY.md §2.2-2.3, §3.2): the Go river tails the
+binlog and turns RowsEvents into ES bulk index/update/delete requests
+(river/converter.go:25-53, K2-K4). Here a *change batch* — a DataFrame
+``(action ∈ insert|update|delete, doc_id, url, warc_ts, lang, text)``
+— is applied as:
+
+- delete / update  → segment-scoped tombstones for the old version
+  (bulk_delete_request.go:19 analogue; Lucene-style: no in-place block
+  rewrite, SURVEY §7 hard-part (d))
+- insert / update  → ONE new segment built from the new docs
+  (bulk_index_request.go:17 upsert analogue: last writer wins because
+  the new segment outranks the tombstone)
+
+Collection stats (N, avgdl, df) keep counting tombstoned postings until
+``compact()`` rebuilds from live docs — the same smeared-stats behavior
+ES/Lucene exhibit between merges; compaction restores exactness (tested
+invariant: compacted == fresh build over the final doc set).
+
+The streaming variant wires the same ``apply_changes`` into Structured
+Streaming ``foreachBatch`` with a checkpointLocation — the binlog
+position file (canal/master.go:16-90) becomes Spark's offset log, and
+the idle-flush/rotate semantics (canal/sync.go:27-53) become trigger
+scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import build_segment
+from ..index.reader import IndexReader
+
+DOC_COLS = ["doc_id", "url", "warc_ts", "lang", "text"]
+
+
+def _next_segment_id(index_dir: str) -> int:
+    import glob
+    import json
+
+    ids = []
+    for mp in glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json")):
+        with open(mp) as f:
+            ids.append(int(json.load(f)["segment_id"]))
+    return (max(ids) + 1) if ids else 0
+
+
+def apply_changes(
+    spark: SparkSession,
+    index_dir: str,
+    changes: DataFrame,
+    n_shards: int = 8,
+) -> dict | None:
+    """Apply one change batch; returns the new segment's manifest (or
+    None for a delete-only batch)."""
+    changes = changes.cache()
+    try:
+        new_seg = _next_segment_id(index_dir)
+        # 1. tombstone old versions of updated/deleted docs (postings in
+        #    segments < new_seg die; the re-added doc lives in new_seg)
+        dead = changes.where(F.col("action").isin("update", "delete")).select(
+            "doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg")
+        )
+        if dead.limit(1).count() > 0:
+            dead.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
+        # 2. new segment from inserted/updated docs
+        docs = changes.where(F.col("action").isin("insert", "update")).select(
+            *[c for c in DOC_COLS if c in changes.columns]
+        )
+        if docs.limit(1).count() == 0:
+            return None
+        return build_segment(spark, docs, index_dir, segment_id=new_seg, n_shards=n_shards)
+    finally:
+        changes.unpersist()
+
+
+def compact(spark: SparkSession, index_dir: str, n_segments: int = 1, n_shards: int = 8) -> list[dict]:
+    """Merge-to-exact: rebuild the index from live docs only, drop
+    tombstones. (K1's byte-threshold bulker becomes segment-count /
+    bytes policy at real scale — callers decide when to compact.)"""
+    import shutil
+
+    from ..index.build import build_index
+
+    reader = IndexReader(spark, index_dir)
+    live = reader.docstore().drop("segment", "dl").cache()
+    live.count()
+    tmp = index_dir + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    manifests = build_index(spark, live, tmp, n_segments=n_segments, n_shards=n_shards)
+    live.unpersist()
+    # atomic-ish swap: replace segments + drop tombstones
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    os.replace(os.path.join(tmp, "segments"), os.path.join(index_dir, "segments"))
+    tomb = os.path.join(index_dir, "tombstones.parquet")
+    shutil.rmtree(tomb, ignore_errors=True)
+    ts = os.path.join(index_dir, "term_strings.parquet")
+    shutil.rmtree(ts, ignore_errors=True)  # derived cache, now stale
+    shutil.rmtree(tmp, ignore_errors=True)
+    return manifests
+
+
+def stream_changes_into_index(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+):
+    """Structured Streaming ingest: micro-batches of CDC rows →
+    apply_changes per batch (K6 trigger/flush + K7 checkpoint parity).
+
+    Returns the StreamingQuery; callers pick the trigger (tests use
+    availableNow, production processingTime)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(spark, index_dir, batch_df, n_shards=n_shards)
+
+    return (
+        changes_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,154 @@
+"""M6: CDC-equivalent incremental path — the reference's E2E scenario
+(river/river_test.go TestDumpAndReplication/TestUpdate/TestDelete)
+translated: bootstrap build, then insert/update/delete batches, then
+compaction == fresh build invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mysql_elasticsearch_spark.index.build import build_index
+from go_mysql_elasticsearch_spark.index.reader import IndexReader
+from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+from go_mysql_elasticsearch_spark.streaming.incremental import apply_changes, compact
+
+from .conftest import SF_SMALL
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, lang string, text string")
+
+
+def _base_docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.concat(F.lit("u"), "doc_id").alias("url"), "lang", "text")
+    )
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    d = str(tmp_path / "inc_idx")
+    build_index(spark, _base_docs(spark), d, n_segments=1, n_shards=2)
+    return d
+
+
+def _hits(spark, idx, terms, mode="or", k=10):
+    return [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(spark, IndexReader(spark, idx), terms, k=k, mode=mode).collect()
+    ]
+
+
+def test_insert_visible(spark, idx):
+    before = _hits(spark, idx, ["qqqnewterm"])
+    assert before == []
+    ch = _mkdocs(spark, [(90001, "u90001", "en", "qqqnewterm appears here qqqnewterm")])
+    apply_changes(spark, idx, ch.withColumn("action", F.lit("insert")), n_shards=2)
+    after = _hits(spark, idx, ["qqqnewterm"])
+    assert [d for d, _ in after] == [90001]
+
+
+def test_update_replaces_old_version(spark, idx):
+    # doc 0 contains 'the' initially; update rewrites its text entirely
+    assert 0 in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+    ch = _mkdocs(spark, [(0, "u0", "en", "zzzreplaced content only")])
+    apply_changes(spark, idx, ch.withColumn("action", F.lit("update")), n_shards=2)
+    r = IndexReader(spark, idx)
+    # old version invisible in queries and docstore
+    assert 0 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+    assert [x["doc_id"] for x in _hits_df(r, "zzzreplaced")] == [0]
+    live_text = r.docstore().where(F.col("doc_id") == 0).select("text").collect()
+    assert len(live_text) == 1 and live_text[0]["text"] == "zzzreplaced content only"
+
+
+def _hits_df(reader, term):
+    from go_mysql_elasticsearch_spark.query.wand import bm25_topk as t
+
+    return t(reader.spark, reader, [term], k=10).collect()
+
+
+def test_delete_invisible(spark, idx):
+    ch = _mkdocs(spark, [(1, "u1", "en", "x")]).withColumn("action", F.lit("delete"))
+    apply_changes(spark, idx, ch, n_shards=2)
+    r = IndexReader(spark, idx)
+    assert 1 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+    assert r.docstore().where(F.col("doc_id") == 1).count() == 0
+
+
+def test_reinsert_after_delete(spark, idx):
+    apply_changes(
+        spark, idx, _mkdocs(spark, [(2, "u2", "en", "x")]).withColumn("action", F.lit("delete")),
+        n_shards=2,
+    )
+    apply_changes(
+        spark, idx,
+        _mkdocs(spark, [(2, "u2", "en", "backfromthedead doc")]).withColumn("action", F.lit("insert")),
+        n_shards=2,
+    )
+    assert [d for d, _ in _hits(spark, idx, ["backfromthedead"])] == [2]
+
+
+def _flat_postings_set(spark, idx):
+    r = IndexReader(spark, idx)
+    return {
+        (row["tid"], row["doc_id"], row["tf"], row["dl"])
+        for row in r.decode_postings().collect()
+    }
+
+
+def test_compaction_equals_fresh_build(spark, idx, tmp_path):
+    """upserts + deletes → compact ≡ fresh build over the final doc set
+    (exact stats restored; SURVEY §7 M6 invariant)."""
+    apply_changes(
+        spark, idx,
+        _mkdocs(spark, [(0, "u0", "en", "totally new words here")]).withColumn("action", F.lit("update")),
+        n_shards=2,
+    )
+    apply_changes(
+        spark, idx, _mkdocs(spark, [(5, "u5", "en", "x")]).withColumn("action", F.lit("delete")),
+        n_shards=2,
+    )
+    compact(spark, idx, n_segments=1, n_shards=2)
+
+    fresh_dir = str(tmp_path / "fresh")
+    final_docs = (
+        _base_docs(spark)
+        .where(~F.col("doc_id").isin(0, 5))
+        .unionByName(_mkdocs(spark, [(0, "u0", "en", "totally new words here")]))
+    )
+    build_index(spark, final_docs, fresh_dir, n_segments=1, n_shards=2)
+
+    assert _flat_postings_set(spark, idx) == _flat_postings_set(spark, fresh_dir)
+    ri, rf = IndexReader(spark, idx), IndexReader(spark, fresh_dir)
+    assert ri.n_docs == rf.n_docs and ri.avgdl == rf.avgdl
+    assert _hits(spark, idx, ["the", "data"], k=10) == _hits(spark, fresh_dir, ["the", "data"], k=10)
+
+
+def test_streaming_foreachbatch(spark, idx, tmp_path):
+    """Structured Streaming file source → foreachBatch apply_changes
+    (K6/K7 parity: offsets checkpointed, batch flushes)."""
+    import json
+    import os
+
+    from go_mysql_elasticsearch_spark.streaming.incremental import stream_changes_into_index
+
+    src = tmp_path / "changes_src"
+    src.mkdir()
+    with open(src / "batch0.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps({
+                "action": "insert", "doc_id": 80000 + i, "url": f"u{i}",
+                "lang": "en", "text": f"streamterm{i} streamed content",
+            }) + "\n")
+    stream = (
+        spark.readStream.schema("action string, doc_id long, url string, lang string, text string")
+        .json(str(src))
+    )
+    q = stream_changes_into_index(spark, stream, idx, str(tmp_path / "ckpt"), n_shards=2)
+    q.awaitTermination(120)
+    assert [d for d, _ in _hits(spark, idx, ["streamterm1"])] == [80001]
+    # restart with no new data → checkpoint prevents re-application
+    n_before = IndexReader(spark, idx).n_docs
+    q2 = stream_changes_into_index(spark, stream, idx, str(tmp_path / "ckpt"), n_shards=2)
+    q2.awaitTermination(120)
+    assert IndexReader(spark, idx).n_docs == n_before
