@@ -11,10 +11,10 @@ from __future__ import annotations
 
 
 def all_entries() -> dict:
-    from . import aggs, compound, pipeline_ops, rowdoc, structured
+    from . import aggs, compound, pipeline_ops, relations, rowdoc, structured
 
     out: dict = {}
-    for mod in (structured, compound, aggs, pipeline_ops, rowdoc):
+    for mod in (structured, compound, aggs, pipeline_ops, rowdoc, relations):
         overlap = set(out) & set(mod.ENTRIES)
         if overlap:
             raise ValueError(f"duplicate entry names: {overlap}")

@@ -1,0 +1,127 @@
+"""Relational query operators: query_string, not, has_parent /
+has_child / nested (SURVEY.md §2.4 compound family + §2.5 joins).
+
+Parent/child reproduces the reference's parent-routing feature
+(config/rule.go:85-95, river/converter.go:110-133, test
+river/river_test.go:217-232): children carry parent = doc_id % 10;
+parent docs are doc_id < 10. Joins are left_semi/left_anti with the
+small side broadcast — the Spark mapping called out in SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..analyzer import tokens_col
+from ..query.querystring import query_string_oracle_sql, query_string_topk
+from ..query.scoring import ROUND_DIGITS, bm25_ctes
+from ..query.wand import bm25_topk
+from ..registry import index_for
+
+QS_FIXTURE = '+data -slow merge "hash join"'
+
+
+def q_query_string(spark, sf_dir):
+    return query_string_topk(spark, index_for(spark, sf_dir), QS_FIXTURE, k=10)
+
+
+def q_not(spark, sf_dir):
+    """not query (search_queries_not.go:11): match(data) minus docs
+    matching 'merge' — left-anti join of scored frames."""
+    r = index_for(spark, sf_dir)
+    pos = bm25_topk(spark, r, ["data"], return_all=True)
+    neg = bm25_topk(spark, r, ["merge"], return_all=True).select("doc_id")
+    out = pos.join(neg, "doc_id", "left_anti")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _with_parent(docs):
+    return docs.withColumn("parent_id", F.col("doc_id") % 10)
+
+
+def q_has_child(spark, sf_dir):
+    """has_child (search_queries_has_child.go:12): parent docs with ≥1
+    child matching term 'dup' — semi-join child→parent key."""
+    r = index_for(spark, sf_dir)
+    children = _with_parent(r.docstore()).where(F.col("doc_id") >= 10)
+    matching = children.where(F.array_contains(tokens_col("text"), "dup")).select("parent_id")
+    parents = r.docstore().where(F.col("doc_id") < 10).select("doc_id", "lang")
+    return parents.join(
+        F.broadcast(matching.distinct()),
+        parents["doc_id"] == matching["parent_id"],
+        "left_semi",
+    )
+
+
+def q_has_parent(spark, sf_dir):
+    """has_parent (search_queries_has_parent.go:15): child docs whose
+    parent doc has lang='de'."""
+    r = index_for(spark, sf_dir)
+    parents = (
+        r.docstore().where((F.col("doc_id") < 10) & (F.col("lang") == "de"))
+        .select(F.col("doc_id").alias("parent_id"))
+    )
+    children = _with_parent(r.docstore()).where(F.col("doc_id") >= 10)
+    return children.join(F.broadcast(parents), "parent_id", "left_semi").select(
+        "doc_id", "parent_id"
+    )
+
+
+def q_nested(spark, sf_dir):
+    """nested (search_queries_nested.go:14): docs with a nested
+    (term, tf) element matching term='dup' AND tf>=2 — explode array of
+    structs, filter, regroup (the §2.4 mapping)."""
+    r = index_for(spark, sf_dir)
+    tf_struct = F.transform(
+        F.array_distinct(tokens_col("text")),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(tokens_col("text"), lambda x: x == t)).alias("tf"),
+        ),
+    )
+    nested = r.docstore().select("doc_id", F.explode(tf_struct).alias("e"))
+    return (
+        nested.where((F.col("e.term") == "dup") & (F.col("e.tf") >= 2))
+        .groupBy("doc_id")
+        .agg(F.max("e.tf").cast("long").alias("max_tf"))
+    )
+
+
+ENTRIES = {
+    "query_string": (q_query_string, query_string_oracle_sql(QS_FIXTURE, k=10)),
+    "not_query": (
+        q_not,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+, cl AS (SELECT doc_id,
+         round(sum(s) FILTER (WHERE term = 'data'), {ROUND_DIGITS}) AS sp,
+         count(*) FILTER (WHERE term = 'merge') AS neg
+  FROM persc GROUP BY doc_id)
+SELECT doc_id, sp AS score FROM cl WHERE sp IS NOT NULL AND neg = 0
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "has_child": (
+        q_has_child,
+        """SELECT p.doc_id, p.lang FROM documents p
+WHERE p.doc_id < 10 AND EXISTS (
+  SELECT 1 FROM documents c
+  WHERE c.doc_id >= 10 AND c.doc_id % 10 = p.doc_id
+    AND list_contains(regexp_extract_all(lower(c.text), '[a-z0-9]+'), 'dup'))""",
+    ),
+    "has_parent": (
+        q_has_parent,
+        """SELECT c.doc_id, c.doc_id % 10 AS parent_id FROM documents c
+WHERE c.doc_id >= 10 AND EXISTS (
+  SELECT 1 FROM documents p
+  WHERE p.doc_id < 10 AND p.doc_id = c.doc_id % 10 AND p.lang = 'de')""",
+    ),
+    "nested_query": (
+        q_nested,
+        """WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id, max(tf)::BIGINT AS max_tf FROM tf
+WHERE term = 'dup' AND tf >= 2 GROUP BY doc_id""",
+    ),
+}

@@ -21,6 +21,8 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self._dict_df: DataFrame | None = None
+        self._df_cache: dict[int, int] = {}  # tid → df (driver-side LRU-ish)
+        self._tomb_cache: dict[int, int] | None = None
         self.manifests: list[dict] = []
         for mp in sorted(glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json"))):
             with open(mp) as f:
@@ -142,6 +144,31 @@ class IndexReader:
             )
             terms.write.mode("overwrite").parquet(p)
         return self.spark.read.parquet(p)
+
+    def df_lookup(self, tids: list[int]) -> dict[int, int]:
+        """tid → document frequency, memoized driver-side.
+
+        Serving-path optimization: repeated query terms skip the dict
+        job entirely (one Spark job per *new* term set, none for warm
+        terms). The memo holds only queried tids — bounded by the query
+        workload, not the vocabulary."""
+        missing = [t for t in tids if t not in self._df_cache]
+        if missing:
+            rows = self.global_dict().where(F.col("tid").isin(missing)).collect()
+            found = {r["tid"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in tids if self._df_cache.get(t, 0) > 0}
+
+    def tombstones_map(self) -> dict[int, int]:
+        """doc_id → upto_seg, memoized (invalidated by reopening the
+        reader — writers create new readers after apply_changes)."""
+        if self._tomb_cache is None:
+            t = self.tombstones()
+            self._tomb_cache = (
+                {r["doc_id"]: int(r["upto_seg"]) for r in t.collect()} if t is not None else {}
+            )
+        return self._tomb_cache
 
     def tombstones(self) -> DataFrame | None:
         """(doc_id, upto_seg): the doc's postings in segments ≤ upto_seg

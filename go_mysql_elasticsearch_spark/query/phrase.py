@@ -29,11 +29,12 @@ def phrase_words(phrase: str) -> list[str]:
     return _TOK.findall(phrase.lower())
 
 
-def phrase_match_expr(toks_col, words: list[str]):
+def phrase_match_expr(toks_col: str, words: list[str]):
     """JVM expression: token array contains the word sequence adjacently."""
     m = len(words)
-    conds = " AND ".join(f"__pt[i+{j}] = '{w}'" for j, w in enumerate(words))
-    return F.expr(f"size(__pt) >= {m} AND exists(sequence(0, size(__pt) - {m}), i -> {conds})")
+    c = toks_col
+    conds = " AND ".join(f"{c}[i+{j}] = '{w}'" for j, w in enumerate(words))
+    return F.expr(f"size({c}) >= {m} AND exists(sequence(0, size({c}) - {m}), i -> {conds})")
 
 
 def match_phrase(

@@ -258,6 +258,15 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
     return score_group
 
 
+# Below this many matched postings the query runs coordinator-local:
+# collect the matched blocks (pruned parquet scan, no shuffle, no Python
+# workers) and run WAND on the driver — the classic search-head serving
+# path. Above it, the shard-parallel distributed path takes over (the
+# 10^12-doc regime, where a head term's postings must never converge on
+# one node). Both paths share the same scorer code → identical results.
+DRIVER_PATH_MAX_POSTINGS = 2_000_000
+
+
 def bm25_topk(
     spark: SparkSession,
     reader: IndexReader,
@@ -266,11 +275,13 @@ def bm25_topk(
     mode: str = "or",
     min_should: int = 1,
     return_all: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """BM25 top-k → DataFrame(doc_id, score) deterministically ordered.
 
     ``return_all`` skips the final LIMIT (used by phrase verification
     and bool composition, which post-filter then re-rank).
+    ``strategy``: 'auto' (df-based choice), 'driver', or 'distributed'.
     """
     terms = analyze_query(query) if isinstance(query, str) else list(dict.fromkeys(query))
     n_terms = len(terms)
@@ -278,19 +289,30 @@ def bm25_topk(
     if not terms:
         return empty
     tids = term_ids(spark, terms)
-    dict_rows = reader.global_dict().where(F.col("tid").isin(list(tids.values()))).collect()
-    dfs = {r["tid"]: r["df"] for r in dict_rows}
+    dfs = reader.df_lookup(list(tids.values()))
     if not dfs or (mode == "and" and len(dfs) < n_terms):
         return empty
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}
-    tomb = reader.tombstones()
-    dead_upto = (
-        {r["doc_id"]: int(r["upto_seg"]) for r in tomb.collect()} if tomb is not None else {}
-    )
+    dead_upto = reader.tombstones_map()
 
     matched = reader.postings().where(F.col("tid").isin(list(dfs)))
     scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all)
+
+    use_driver = strategy == "driver" or (
+        strategy == "auto" and sum(dfs.values()) <= DRIVER_PATH_MAX_POSTINGS
+    )
+    if use_driver:
+        pdf = matched.toPandas()
+        frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
+        hits = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(columns=["doc_id", "raw"])
+        hits["score"] = hits["raw"].round(ROUND_DIGITS)
+        hits = hits.sort_values(["score", "doc_id"], ascending=[False, True])
+        if not return_all:
+            hits = hits.head(k)
+        out_pdf = hits[["doc_id", "score"]].astype({"doc_id": "int64", "score": "float64"})
+        return spark.createDataFrame(out_pdf, schema="doc_id long, score double")
+
     local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
     out = out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -39,10 +39,11 @@ def rows(df):
 
 
 @pytest.mark.parametrize("q,mode", QUERIES)
-def test_wand_rank_identical_to_naive(spark, reader, q, mode):
+@pytest.mark.parametrize("strategy", ["driver", "distributed"])
+def test_wand_rank_identical_to_naive(spark, reader, q, mode, strategy):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     naive = bm25_naive(docs, analyze_query(q), mode=mode, k=10)
-    wand = bm25_topk(spark, reader, q, k=10, mode=mode)
+    wand = bm25_topk(spark, reader, q, k=10, mode=mode, strategy=strategy)
     assert rows(wand) == rows(naive)
 
 

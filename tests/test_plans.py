@@ -1,0 +1,102 @@
+"""Physical-plan audits (SURVEY.md §4): the properties that make this
+engine viable at 100 TB, asserted on `.explain` output so regressions
+are caught:
+
+- term lookups push the tid filter into the parquet scan (PushedFilters)
+- docstore predicates push down; projections prune columns (ReadSchema)
+- the packed-postings scan for a query never reads the docstore
+- relational ops stay inside WholeStageCodegen
+- small-side joins broadcast
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mysql_elasticsearch_spark.index.build import build_index
+from go_mysql_elasticsearch_spark.index.reader import IndexReader
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("planidx") / "i")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=1, n_shards=4)
+    return IndexReader(spark, idx)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
+        if False else df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+
+def test_postings_term_filter_pushed_down(spark, reader):
+    df = reader.postings().where(F.col("tid").isin(1, 2, 3))
+    s = formatted(df)
+    assert "PushedFilters" in s and "In(tid" in s, s
+
+
+def test_docstore_predicate_pushdown_and_pruning(spark, reader):
+    df = reader.docstore().where(F.col("lang") == "de").select("doc_id", "lang")
+    s = formatted(df)
+    assert "EqualTo(lang,de)" in s or "IsNotNull(lang)" in s, s
+    # column pruning: text must NOT be read for a (doc_id, lang) projection
+    m = re.search(r"ReadSchema: ([^\n]*)", s)
+    assert m and "text" not in m.group(1), s
+
+
+def test_query_scan_reads_only_postings(spark, reader):
+    from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+
+    df = bm25_topk(spark, reader, ["data"], k=10, strategy="distributed")
+    s = formatted(df)
+    assert "postings.parquet" in s and "docs.parquet" not in s, s
+
+
+def test_relational_ops_whole_stage_codegen(spark, reader):
+    df = (
+        reader.docstore()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    df.collect()  # finalize the AQE plan first
+    # whole-stage codegen renders as '*(n)' stage markers in the plan
+    assert "*(1)" in plan_of(df) and "*(2)" in plan_of(df)
+
+
+def test_small_dim_join_broadcasts(spark, reader):
+    dim = spark.createDataFrame([("de", "German"), ("fr", "French")], "lang string, name string")
+    df = reader.docstore().join(dim, "lang")
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_build_has_exactly_two_wide_shuffles(spark, tmp_path):
+    """The postings job is tf-agg exchange + pack exchange — no hidden
+    third shuffle creeps in."""
+    from go_mysql_elasticsearch_spark.analyzer import tokens_col
+    from go_mysql_elasticsearch_spark.index.build import POSTINGS_SCHEMA, _make_stream_packer
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.select("doc_id", tokens_col("text").alias("_toks")).withColumn("dl", F.size("_toks"))
+    exploded = base.select("doc_id", "dl", F.explode(F.transform("_toks", lambda t: F.xxhash64(t))).alias("tid"))
+    tf = exploded.groupBy("tid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+    packed = (
+        sharded.repartition(8, "tid", "shard")
+        .sortWithinPartitions("tid", "shard", "doc_id")
+        .mapInPandas(_make_stream_packer(128), schema=POSTINGS_SCHEMA)
+    )
+    n_exchanges = plan_of(packed).count("Exchange")
+    assert n_exchanges == 2, plan_of(packed)

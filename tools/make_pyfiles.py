@@ -1,0 +1,29 @@
+"""Package the engine for spark-submit --py-files → dist/engine.zip."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(REPO, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "engine.zip")
+    pkg = os.path.join(REPO, "go_mysql_elasticsearch_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    z.write(p, os.path.relpath(p, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
