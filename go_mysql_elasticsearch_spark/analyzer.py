@@ -35,15 +35,19 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def tokens_col(text_col: str | Column = "text") -> Column:
-    """``array<string>`` of analyzed tokens — pure JVM expression."""
+def tokens_col(text_col: str | Column = "text", pattern: str = TOKEN_PATTERN) -> Column:
+    """``array<string>`` of analyzed tokens — pure JVM expression.
+
+    ``pattern`` is the per-index analyzer config (reference K5: opaque
+    ``<index>.idx.json`` settings, river/river.go:82-139 — here an
+    explicit, persisted token regex)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), F.lit(0))
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
 
 
-def duckdb_tokens_sql(expr: str = "text") -> str:
+def duckdb_tokens_sql(expr: str = "text", pattern: str = TOKEN_PATTERN) -> str:
     """DuckDB SQL fragment producing the identical token array."""
-    return f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
+    return f"regexp_extract_all(lower({expr}), '{pattern}')"
 
 
 # ---------------------------------------------------------------------------

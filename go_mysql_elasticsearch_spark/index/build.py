@@ -48,10 +48,32 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pyspark import StorageLevel
-
-from ..analyzer import tokens_col
+from ..analyzer import BM25_B, BM25_K1, TOKEN_PATTERN, tokens_col
 from .codec import BLOCK_SIZE
+
+DEFAULT_SETTINGS = {
+    "token_pattern": TOKEN_PATTERN,
+    "bm25_k1": BM25_K1,
+    "bm25_b": BM25_B,
+}
+
+
+def write_settings(index_dir: str, settings: dict | None) -> dict:
+    """Persist per-index analyzer/scoring settings (reference K5:
+    <index>.idx.json applied at index creation, river/river.go:82-139).
+    Existing settings win — an index's analyzer must never change
+    silently under incremental builds."""
+    merged = {**DEFAULT_SETTINGS, **(settings or {})}
+    path = os.path.join(index_dir, "settings.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1)
+    os.replace(tmp, path)
+    return merged
 
 POSTINGS_SCHEMA = StructType(
     [
@@ -174,6 +196,7 @@ def build_segment(
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     overwrite: bool = False,
+    settings: dict | None = None,
 ) -> dict | None:
     """Build one index segment; returns its manifest dict.
 
@@ -188,6 +211,8 @@ def build_segment(
     if os.path.exists(manifest_path) and not overwrite:
         with open(manifest_path) as f:
             return json.load(f)
+    effective = write_settings(index_dir, settings)
+    token_pattern = effective["token_pattern"]
 
     t0 = time.time()
     # Defensive parallelism: a small parquet input arrives as 1-2
@@ -197,9 +222,9 @@ def build_segment(
     if docs.rdd.getNumPartitions() < max(2, target_parts // 2):
         docs = docs.repartition(target_parts)
     passthrough = [c for c in ("url", "warc_ts", "lang", "text") if c in docs.columns]
-    base = docs.select("doc_id", *passthrough, tokens_col("text").alias("_toks")).withColumn(
-        "dl", F.size("_toks")
-    )
+    base = docs.select(
+        "doc_id", *passthrough, tokens_col("text", pattern=token_pattern).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
     _timings: dict[str, float] = {}
     _t = time.time()
 
@@ -297,6 +322,7 @@ def build_index(
     n_segments: int = 1,
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
+    settings: dict | None = None,
 ) -> list[dict]:
     """Partition the doc space into ``n_segments`` and build each.
 
@@ -308,7 +334,8 @@ def build_index(
         part = docs.where(F.pmod(F.col("doc_id"), F.lit(n_segments)) == s) if n_segments > 1 else docs
         manifests.append(
             build_segment(
-                spark, part, index_dir, segment_id=s, n_shards=n_shards, block_size=block_size
+                spark, part, index_dir, segment_id=s, n_shards=n_shards,
+                block_size=block_size, settings=settings,
             )
         )
     return manifests

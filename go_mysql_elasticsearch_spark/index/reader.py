@@ -23,6 +23,16 @@ class IndexReader:
         self._dict_df: DataFrame | None = None
         self._df_cache: dict[int, int] = {}  # tid → df (driver-side LRU-ish)
         self._tomb_cache: dict[int, int] | None = None
+        # per-index analyzer/scoring settings (K5 parity); defaults if
+        # the index predates settings persistence
+        sp = os.path.join(index_dir, "settings.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                self.settings = json.load(f)
+        else:
+            from .build import DEFAULT_SETTINGS
+
+            self.settings = dict(DEFAULT_SETTINGS)
         self.manifests: list[dict] = []
         for mp in sorted(glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json"))):
             with open(mp) as f:
@@ -52,7 +62,10 @@ class IndexReader:
             dfs.append(self.spark.read.parquet(p).withColumn("segment", F.lit(str(seg_id))))
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: segments built before/after a schema
+            # change coexist (reference S8 parity — live ALTER TABLE ADD
+            # handled by schema merge on read, canal/sync.go:105-141)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def postings(self) -> DataFrame:

@@ -24,9 +24,10 @@ import re
 _TOK = re.compile(TOKEN_PATTERN)
 
 
-def phrase_words(phrase: str) -> list[str]:
+def phrase_words(phrase: str, pattern: str | None = None) -> list[str]:
     """Ordered tokens with duplicates (phrase order matters)."""
-    return _TOK.findall(phrase.lower())
+    rx = re.compile(pattern) if pattern else _TOK
+    return rx.findall(phrase.lower())
 
 
 def phrase_match_expr(toks_col: str, words: list[str]):
@@ -40,12 +41,13 @@ def phrase_match_expr(toks_col: str, words: list[str]):
 def match_phrase(
     spark: SparkSession, reader: IndexReader, phrase: str, k: int = 10
 ) -> DataFrame:
-    words = phrase_words(phrase)
+    pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
+    words = phrase_words(phrase, pattern)
     uniq = list(dict.fromkeys(words))
     if not words:
         return spark.createDataFrame([], "doc_id long, score double")
     candidates = bm25_topk(spark, reader, uniq, k=k, mode="and", return_all=True)
-    docs = reader.docstore().select("doc_id", tokens_col("text").alias("__pt"))
+    docs = reader.docstore().select("doc_id", tokens_col("text", pattern=pattern).alias("__pt"))
     verified = (
         candidates.join(docs, "doc_id")
         .where(phrase_match_expr("__pt", words))

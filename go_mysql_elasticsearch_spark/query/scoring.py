@@ -34,14 +34,16 @@ from ..analyzer import BM25_B, BM25_K1, TOKEN_PATTERN, duckdb_tokens_sql, tokens
 
 ROUND_DIGITS = 6
 
-_QUERY_TOKEN_RE = re.compile(TOKEN_PATTERN)
+_PATTERN_CACHE: dict[str, "re.Pattern"] = {}
 
 
-def analyze_query(query_text: str) -> list[str]:
-    """Tokenize a query string exactly like the index analyzer; dedupe
-    preserving first-seen order."""
+def analyze_query(query_text: str, pattern: str = TOKEN_PATTERN) -> list[str]:
+    """Tokenize a query string exactly like the index analyzer (same
+    regex the build used — per-index, K5 settings); dedupe preserving
+    first-seen order."""
+    rx = _PATTERN_CACHE.setdefault(pattern, re.compile(pattern))
     seen: dict[str, None] = {}
-    for t in _QUERY_TOKEN_RE.findall(query_text.lower()):
+    for t in rx.findall(query_text.lower()):
         seen.setdefault(t, None)
     return list(seen)
 
@@ -61,14 +63,22 @@ def tfpart(tf, dl, avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
 # rank-identical (SURVEY.md §7 M1).
 # ---------------------------------------------------------------------------
 
-def bm25_naive(docs: DataFrame, terms: list[str], mode: str = "or", k: int = 10) -> DataFrame:
+def bm25_naive(
+    docs: DataFrame,
+    terms: list[str],
+    mode: str = "or",
+    k: int | None = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
     """Pure-DataFrame BM25 over (doc_id, text) — no index, full scan.
 
     This *is* SQL-expressible (explode → join → groupBy → orderBy →
     limit) and is exactly the plan Catalyst runs; it doubles as the
     proof that the fancy path is an optimization, not new semantics.
     """
-    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    toks = docs.select("doc_id", tokens_col("text", pattern=pattern).alias("t"))
     dl = toks.select("doc_id", F.size("t").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").cast("double").alias("sum_dl")
@@ -80,7 +90,6 @@ def bm25_naive(docs: DataFrame, terms: list[str], mode: str = "or", k: int = 10)
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    k1, b = BM25_K1, BM25_B
     scored = (
         tf.join(dfreq, "term")
         .join(dl, "doc_id")

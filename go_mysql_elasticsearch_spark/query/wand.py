@@ -61,11 +61,16 @@ class _TermIter:
     blocks, exposes next_geq / block-max upper bounds."""
 
     __slots__ = ("idf", "firsts", "lasts", "max_tfs", "min_dls", "packs",
-                 "bi", "pi", "docs", "tfs", "dls", "avgdl", "global_ub")
+                 "bi", "pi", "docs", "tfs", "dls", "avgdl", "k1", "b", "global_ub")
 
-    def __init__(self, idf_val: float, g: pd.DataFrame, avgdl: float):
+    def __init__(self, idf_val: float, g: pd.DataFrame, avgdl: float,
+                 k1: float = None, b: float = None):
+        from ..analyzer import BM25_B, BM25_K1
+
         self.idf = idf_val
         self.avgdl = avgdl
+        self.k1 = BM25_K1 if k1 is None else k1
+        self.b = BM25_B if b is None else b
         order = np.argsort(g["first_doc_id"].to_numpy())
         self.firsts = g["first_doc_id"].to_numpy()[order]
         self.lasts = g["last_doc_id"].to_numpy()[order]
@@ -74,7 +79,7 @@ class _TermIter:
         packs = list(zip(g["docs_vb"], g["tfs_vb"], g["dls_vb"]))
         self.packs = [packs[i] for i in order]
         self.global_ub = idf_val * float(
-            np.max(tfpart(self.max_tfs.astype(np.float64), self.min_dls.astype(np.float64), avgdl))
+            np.max(tfpart(self.max_tfs.astype(np.float64), self.min_dls.astype(np.float64), avgdl, self.k1, self.b))
         )
         self.bi = -1
         self._load(0)
@@ -102,10 +107,10 @@ class _TermIter:
     def block_ub(self) -> float:
         if self.docs is None:
             return 0.0
-        return self.idf * tfpart(float(self.max_tfs[self.bi]), float(self.min_dls[self.bi]), self.avgdl)
+        return self.idf * tfpart(float(self.max_tfs[self.bi]), float(self.min_dls[self.bi]), self.avgdl, self.k1, self.b)
 
     def cur_score(self) -> float:
-        return self.idf * tfpart(self.tfs[self.pi], self.dls[self.pi], self.avgdl)
+        return self.idf * tfpart(self.tfs[self.pi], self.dls[self.pi], self.avgdl, self.k1, self.b)
 
     def advance(self) -> None:
         self.pi += 1
@@ -180,7 +185,7 @@ def _or_full(lists: list[_TermIter], min_should: int, dead: frozenset) -> list[t
     for L in lists:
         d, t, l = L.decode_all()
         docs_cat.append(d)
-        score_cat.append(L.idf * tfpart(t, l, L.avgdl))
+        score_cat.append(L.idf * tfpart(t, l, L.avgdl, L.k1, L.b))
     docs_cat = np.concatenate(docs_cat)
     score_cat = np.concatenate(score_cat)
     uniq, inv = np.unique(docs_cat, return_inverse=True)
@@ -208,7 +213,7 @@ def _and_intersect(lists: list[_TermIter], n_terms: int, k: int, dead: frozenset
     scores = np.zeros(inter.size, dtype=np.float64)
     for L, (d, t, l) in zip(lists, decoded):
         pos = np.searchsorted(d, inter)
-        scores += L.idf * tfpart(t[pos], l[pos], L.avgdl)
+        scores += L.idf * tfpart(t[pos], l[pos], L.avgdl, L.k1, L.b)
     scores = np.round(scores, ROUND_DIGITS)
     if return_all or inter.size <= k:
         return list(zip(inter.tolist(), scores.tolist()))
@@ -234,7 +239,7 @@ def term_ids(spark: SparkSession, terms: list[str]) -> dict[str, int]:
 
 def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
                        min_should: int, dead_upto: dict[int, int], n_terms: int,
-                       return_all: bool = False):
+                       return_all: bool = False, k1: float = None, b: float = None):
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         # segment-scoped tombstones: a doc is dead in THIS group iff its
         # tombstone covers this group's segment (upsert re-adds live in
@@ -242,7 +247,7 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
         seg = int(pdf["segment"].iloc[0])
         dead = frozenset(d for d, u in dead_upto.items() if seg <= u)
         lists = [
-            _TermIter(idfs[tid], g, avgdl)
+            _TermIter(idfs[tid], g, avgdl, k1, b)
             for tid, g in pdf.groupby("tid", sort=True)
         ]
         if mode == "and":
@@ -283,7 +288,14 @@ def bm25_topk(
     and bool composition, which post-filter then re-rank).
     ``strategy``: 'auto' (df-based choice), 'driver', or 'distributed'.
     """
-    terms = analyze_query(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    st = getattr(reader, "settings", {})
+    pattern = st.get("token_pattern")
+    k1, b = st.get("bm25_k1"), st.get("bm25_b")
+    terms = (
+        analyze_query(query, pattern) if pattern and isinstance(query, str)
+        else analyze_query(query) if isinstance(query, str)
+        else list(dict.fromkeys(query))
+    )
     n_terms = len(terms)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
@@ -297,7 +309,7 @@ def bm25_topk(
     dead_upto = reader.tombstones_map()
 
     matched = reader.postings().where(F.col("tid").isin(list(dfs)))
-    scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all)
+    scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b)
 
     use_driver = strategy == "driver" or (
         strategy == "auto" and sum(dfs.values()) <= DRIVER_PATH_MAX_POSTINGS

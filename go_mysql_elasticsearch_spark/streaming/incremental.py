@@ -104,6 +104,29 @@ def compact(spark: SparkSession, index_dir: str, n_segments: int = 1, n_shards: 
     return manifests
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    mode: str = "or",
+) -> int:
+    """delete_by_query (vendored client delete_by_query.go:19): find
+    matching doc_ids, tombstone them. Returns the number deleted."""
+    from ..query.wand import bm25_topk
+
+    reader = IndexReader(spark, index_dir)
+    hits = bm25_topk(spark, reader, query, mode=mode, return_all=True).select("doc_id")
+    rows = hits.collect()
+    if not rows:
+        return 0
+    new_seg = _next_segment_id(index_dir)
+    changes = spark.createDataFrame(rows, "doc_id long").select(
+        "doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg")
+    )
+    changes.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
+    return len(rows)
+
+
 def stream_changes_into_index(
     spark: SparkSession,
     changes_stream: DataFrame,

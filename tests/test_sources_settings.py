@@ -1,0 +1,111 @@
+"""S5/S9/S10 source utilities, K5 index settings, S8 schema evolution,
+delete_by_query."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_mysql_elasticsearch_spark.index.build import build_index, build_segment
+from go_mysql_elasticsearch_spark.index.reader import IndexReader
+from go_mysql_elasticsearch_spark.query.scoring import analyze_query, bm25_naive
+from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+from go_mysql_elasticsearch_spark.sources.ingest import (
+    describe_source,
+    discover_tables,
+    read_typed,
+    union_tables,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_read_typed_skips_bad_pk_rows(spark):
+    df = spark.createDataFrame(
+        [("1", "9.5", "x"), ("oops", "2.0", "y"), ("3", "bad", "z")],
+        "id string, score string, name string",
+    )
+    out = read_typed(df, {"id": "bigint", "score": "double", "name": "string"}, ["id"])
+    rows = {r["id"]: (r["score"], r["name"]) for r in out.collect()}
+    assert set(rows) == {1, 3}           # 'oops' PK row skipped (ErrSkip)
+    assert rows[3] == (None, "z")        # non-PK failure → NULL
+
+
+def test_wildcard_discovery_and_union(spark):
+    base = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for i in range(3):
+        base.where(F.col("doc_id") % 3 == i).createOrReplaceTempView(f"t_river_{i:04d}")
+    base.limit(1).createOrReplaceTempView("other_table")
+    names = discover_tables(spark, r"t_river_\d+")
+    assert names == ["t_river_0000", "t_river_0001", "t_river_0002"]
+    u = union_tables(spark, r"t_river_\d+")
+    assert u.count() == base.count()
+    assert ("doc_id", "bigint") in describe_source(u)
+
+
+def test_index_settings_persist_and_apply(spark, tmp_path):
+    """K5: custom analyzer pattern + BM25 params persist with the index
+    and drive both build and query; rank-identity holds under them."""
+    idx = str(tmp_path / "custom_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    custom = {"token_pattern": "[a-z]+", "bm25_k1": 0.9, "bm25_b": 0.4}
+    build_index(spark, docs, idx, n_segments=1, n_shards=2, settings=custom)
+    with open(os.path.join(idx, "settings.json")) as f:
+        assert json.load(f)["bm25_k1"] == 0.9
+    r = IndexReader(spark, idx)
+    assert r.settings["token_pattern"] == "[a-z]+"
+    got = [
+        (x["doc_id"], x["score"])
+        for x in bm25_topk(spark, r, "data merge", k=10).collect()
+    ]
+    want = [
+        (x["doc_id"], x["score"])
+        for x in bm25_naive(
+            docs, analyze_query("data merge", "[a-z]+"), k1=0.9, b=0.4, pattern="[a-z]+"
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_settings_immutable_across_incremental_builds(spark, tmp_path):
+    idx = str(tmp_path / "imm_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_segment(spark, docs, idx, segment_id=0, n_shards=2, settings={"bm25_k1": 0.9})
+    # a later build with different settings must NOT change the index's
+    m = build_segment(
+        spark, docs.limit(10), idx, segment_id=1, n_shards=2, settings={"bm25_k1": 2.0}
+    )
+    assert m is not None
+    with open(os.path.join(idx, "settings.json")) as f:
+        assert json.load(f)["bm25_k1"] == 0.9
+
+
+def test_schema_evolution_across_segments(spark, tmp_path):
+    """S8: a column added between segments merges on read (ALTER TABLE
+    ADD parity, canal/sync.go:105-141 / TestSchemaUpgrade)."""
+    idx = str(tmp_path / "evo_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    build_segment(spark, docs.where("doc_id < 100"), idx, segment_id=0, n_shards=2)
+    evolved = docs.where("doc_id >= 100 and doc_id < 200").withColumn("lang", F.lit("xx"))
+    build_segment(spark, evolved, idx, segment_id=1, n_shards=2)
+    r = IndexReader(spark, idx)
+    d = r.docstore()
+    assert "lang" in d.columns
+    assert d.where(F.col("doc_id") < 100).select("lang").first()["lang"] is None
+    assert d.where(F.col("doc_id") == 150).first()["lang"] == "xx"
+    # queries span both segments
+    assert bm25_topk(spark, r, ["the"], k=5).count() == 5
+
+
+def test_delete_by_query(spark, tmp_path):
+    from go_mysql_elasticsearch_spark.streaming.incremental import delete_by_query
+
+    idx = str(tmp_path / "dbq_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=1, n_shards=2)
+    n = delete_by_query(spark, idx, ["dup"])
+    assert n > 0
+    r = IndexReader(spark, idx)
+    assert bm25_topk(spark, r, ["dup"], k=10).count() == 0
+    assert r.docstore().count() == 500 - n
