@@ -70,6 +70,30 @@ def q_range_agg(spark, sf_dir):
     )
 
 
+def q_date_range_agg(spark, sf_dir):
+    """date_range agg (search_aggs_bucket_date_range.go:19)."""
+    e = _events(spark, sf_dir)
+    bucket = (
+        F.when(F.col("ts") < F.lit("2024-01-10").cast("timestamp"), "early")
+        .when(F.col("ts") < F.lit("2024-01-20").cast("timestamp"), "mid")
+        .otherwise("late")
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.round(F.sum("value"), 6).alias("vsum"),
+    )
+
+
+def q_global_agg(spark, sf_dir):
+    """global agg (search_aggs_bucket_global.go:12): metric over ALL
+    docs alongside a filtered metric — escape the query scope."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.round(F.avg("value"), 6).alias("avg_all"),
+        F.round(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6).alias("avg_clicks"),
+    )
+
+
 def q_filters_agg(spark, sf_dir):
     """filters agg (search_aggs_bucket_filters.go:19) — one conditional
     count per named filter."""
@@ -285,6 +309,17 @@ ENTRIES = {
         q_range_agg,
         "SELECT CASE WHEN length(text) < 100 THEN 'lt100' WHEN length(text) < 300 THEN '100-300' "
         "ELSE 'gte300' END AS bucket, count(*)::BIGINT AS doc_count FROM documents GROUP BY 1",
+    ),
+    "agg_date_range": (
+        q_date_range_agg,
+        "SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'early' "
+        "WHEN ts < TIMESTAMP '2024-01-20' THEN 'mid' ELSE 'late' END AS bucket, "
+        "count(*)::BIGINT AS doc_count, round(sum(value), 6) AS vsum FROM events GROUP BY 1",
+    ),
+    "agg_global": (
+        q_global_agg,
+        "SELECT round(avg(value), 6) AS avg_all, "
+        "round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS avg_clicks FROM events",
     ),
     "agg_filters": (
         q_filters_agg,

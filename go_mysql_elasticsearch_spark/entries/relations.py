@@ -87,8 +87,44 @@ def q_nested(spark, sf_dir):
     )
 
 
+def q_min_score(spark, sf_dir):
+    """search min_score (search_source.go: minScore): drop hits below a
+    floor after scoring."""
+    r = index_for(spark, sf_dir)
+    out = bm25_topk(spark, r, ["scan"], return_all=True).where(F.col("score") >= 0.32)
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def q_from_size(spark, sf_dir):
+    """from/size pagination (search.go:20-235): rows 6..15 of the
+    ranked result — offset window over the deterministic order."""
+    from pyspark.sql import Window
+
+    r = index_for(spark, sf_dir)
+    scored = bm25_topk(spark, r, ["data", "merge"], return_all=True)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > 5) & (F.col("rn") <= 15))
+        .select("doc_id", "score")
+    )
+
+
 ENTRIES = {
     "query_string": (q_query_string, query_string_oracle_sql(QS_FIXTURE, k=10)),
+    "min_score": (
+        q_min_score,
+        f"""WITH {bm25_ctes(['scan'])}
+SELECT doc_id, round(sum(s), {ROUND_DIGITS}) AS score FROM persc GROUP BY doc_id
+HAVING round(sum(s), {ROUND_DIGITS}) >= 0.32
+ORDER BY score DESC, doc_id ASC""",
+    ),
+    "from_size": (
+        q_from_size,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+, sc AS (SELECT doc_id, round(sum(s), {ROUND_DIGITS}) AS score FROM persc GROUP BY doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 5""",
+    ),
     "not_query": (
         q_not,
         f"""WITH {bm25_ctes(['data', 'merge'])}

@@ -26,6 +26,10 @@ from .webpages import webpages
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 IDX_CACHE_ROOT = os.environ.get("SPARK_GRAFT_IDX_CACHE", os.path.join(REPO_ROOT, ".idxcache"))
 
+# Bump whenever the on-disk index format or analyzer defaults change —
+# salts the cache key so stale-format indexes are rebuilt, not reused.
+INDEX_FORMAT_VERSION = "3"
+
 _READERS: dict[str, IndexReader] = {}
 
 
@@ -39,7 +43,9 @@ def index_for(spark: SparkSession, sf_dir: str, n_segments: int = 2, n_shards: i
     key = os.path.abspath(sf_dir)
     if key in _READERS:
         return _READERS[key]
-    tag = hashlib.sha1(f"{key}|{n_segments}|{n_shards}".encode()).hexdigest()[:10]
+    tag = hashlib.sha1(
+        f"{key}|{n_segments}|{n_shards}|v{INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
     idx_dir = os.path.join(IDX_CACHE_ROOT, f"{os.path.basename(key)}-{tag}")
     wp = webpages(spark, sf_dir)
     ingest = wp.select(
