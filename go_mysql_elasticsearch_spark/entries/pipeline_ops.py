@@ -54,6 +54,12 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    LSH-bucketed scale path documented in pipeline/similarity.py)."""
+    return S.cosine_near_dups(_emb(spark, sf_dir), threshold=0.35, max_id=200)
+
+
 def q_lang_id(spark, sf_dir):
     return T.lang_id(_docs(spark, sf_dir))
 
@@ -149,6 +155,15 @@ FROM e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     ),
     "ann_lsh": (q_ann_lsh, None),  # hyperplane planes are md5-python-seeded; verified vs brute in pytest
+    "dedup_embedding_cosine": (
+        q_dedup_embedding,
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+ORDER BY a ASC, b ASC""",
+    ),
     "text_lang_id": (q_lang_id, T.LANG_ID_SQL),
     "text_quality": (q_quality, T.QUALITY_SQL),
     "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),

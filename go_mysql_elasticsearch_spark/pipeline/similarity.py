@@ -38,6 +38,30 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def cosine_near_dups(emb: DataFrame, threshold: float = 0.35, max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cos, 4) >= threshold. Exact all-pairs baseline (the oracle
+    shape); at 10^9+ vectors, prefilter candidates with the LSH bucket
+    join in :func:`lsh_signatures` (same band-join shape as MinHash
+    dedup) so the n² comparison happens only within buckets.
+    Threshold applies to the ROUNDED cosine so Spark/DuckDB float
+    boundaries agree."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if max_id is not None:
+        e = e.where(F.col("vec_id") < max_id)
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    ).alias("cos")
+    return (
+        pairs.select("a", "b", cos)
+        .where(F.col("cos") >= threshold)
+        .orderBy(F.asc("a"), F.asc("b"))
+    )
+
+
 def _hyperplane(dim: int, plane_id: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 —
     reproducible across engines and runs, no RNG state."""

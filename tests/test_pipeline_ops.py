@@ -99,3 +99,14 @@ def test_fingerprint_order_sensitive(spark):
 
     fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
     assert fps[1] == fps[3] != fps[2]
+
+
+def test_cosine_near_dups_finds_planted_pair(spark, emb):
+    """A planted exact twin of vec 0 must surface as a near-dup pair
+    with cos == 1; background pairs stay below a high threshold (the
+    corpus embeddings are near-random)."""
+    twin = emb.where(F.col("vec_id") == 0).select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = S.cosine_near_dups(emb.unionByName(twin), threshold=0.9).collect()
+    assert [(r["a"], r["b"], r["cos"]) for r in pairs] == [(0, 9001, 1.0)]
