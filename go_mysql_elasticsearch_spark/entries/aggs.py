@@ -288,6 +288,77 @@ def q_bucket_script_and_avg_bucket(spark, sf_dir):
     )
 
 
+def _tf_exploded(spark, sf_dir):
+    """(doc_id, lang, term, tf) — the nested (term, tf) elements of
+    each doc, the explode side of the §2.4 nested-agg mapping."""
+    from ..analyzer import tokens_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("term")
+    )
+    return d.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def q_nested_agg(spark, sf_dir):
+    """nested agg (search_aggs_bucket_nested.go:10): per-lang bucket,
+    metrics over the doc's nested (term, tf) elements with tf >= 3 —
+    explode + groupBy, all JVM-side."""
+    return (
+        _tf_exploded(spark, sf_dir)
+        .where(F.col("tf") >= 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nested_count"),
+            F.round(F.avg("tf"), 6).alias("avg_tf"),
+        )
+    )
+
+
+def q_reverse_nested_agg(spark, sf_dir):
+    """reverse_nested agg (search_aggs_bucket_reverse_nested.go):
+    bucket by a NESTED field (term), then count ROOT docs per bucket —
+    nested hit count vs distinct-parent count per bucket."""
+    return (
+        _tf_exploded(spark, sf_dir)
+        .where(F.col("term").isin("dup", "scan"))
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("nested_count"),
+            F.countDistinct("doc_id").cast("long").alias("doc_count"),
+        )
+    )
+
+
+def q_children_agg(spark, sf_dir):
+    """children agg (search_aggs_bucket_children.go:11): bucket parents
+    by lang, aggregate over their children (parent routing key =
+    doc_id % 10, the relations.py fixture) — broadcast the tiny parent
+    side into the child scan."""
+    d = _docs(spark, sf_dir)
+    parents = d.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("parent_id"), F.col("lang").alias("parent_lang")
+    )
+    children = d.where(F.col("doc_id") >= 10).select(
+        (F.col("doc_id") % 10).alias("parent_id"), F.length("text").alias("n_chars")
+    )
+    return (
+        children.join(F.broadcast(parents), "parent_id")
+        .groupBy("parent_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("child_count"),
+            F.round(F.avg("n_chars"), 6).alias("avg_child_chars"),
+        )
+    )
+
+
+_TF_SQL = """tf AS (
+  SELECT doc_id, lang, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+  GROUP BY doc_id, lang, term
+)"""
+
 _HOURLY_SQL = (
     "SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS c, round(sum(value), 6) AS v "
     "FROM events GROUP BY 1"
@@ -295,6 +366,25 @@ _HOURLY_SQL = (
 
 ENTRIES = {
     "agg_terms": (q_terms_agg, "SELECT lang, count(*)::BIGINT AS doc_count FROM documents GROUP BY lang"),
+    "agg_nested": (
+        q_nested_agg,
+        f"""WITH {_TF_SQL}
+SELECT lang, count(*)::BIGINT AS nested_count, round(avg(tf), 6) AS avg_tf
+FROM tf WHERE tf >= 3 GROUP BY lang""",
+    ),
+    "agg_reverse_nested": (
+        q_reverse_nested_agg,
+        f"""WITH {_TF_SQL}
+SELECT term, sum(tf)::BIGINT AS nested_count, count(DISTINCT doc_id)::BIGINT AS doc_count
+FROM tf WHERE term IN ('dup', 'scan') GROUP BY term""",
+    ),
+    "agg_children": (
+        q_children_agg,
+        """SELECT p.lang AS parent_lang, count(*)::BIGINT AS child_count,
+       round(avg(length(c.text)), 6) AS avg_child_chars
+FROM documents c JOIN documents p ON p.doc_id = c.doc_id % 10 AND p.doc_id < 10
+WHERE c.doc_id >= 10 GROUP BY p.lang""",
+    ),
     "agg_histogram": (
         q_histogram,
         "SELECT (floor(length(text) / 50) * 50)::BIGINT AS bucket, count(*)::BIGINT AS doc_count "
