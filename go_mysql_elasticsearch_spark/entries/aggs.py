@@ -318,14 +318,16 @@ def q_nested_agg(spark, sf_dir):
 
 def q_reverse_nested_agg(spark, sf_dir):
     """reverse_nested agg (search_aggs_bucket_reverse_nested.go):
-    bucket by a NESTED field (term), then count ROOT docs per bucket —
-    nested hit count vs distinct-parent count per bucket."""
+    bucket by a NESTED field (term), then count ROOT docs per bucket.
+    ``occurrence_count`` is total term occurrences (sum of tf) inside
+    the bucket; ``doc_count`` is the reverse_nested root-doc count
+    (distinct parents) — the ES reverse_nested number."""
     return (
         _tf_exploded(spark, sf_dir)
         .where(F.col("term").isin("dup", "scan"))
         .groupBy("term")
         .agg(
-            F.sum("tf").cast("long").alias("nested_count"),
+            F.sum("tf").cast("long").alias("occurrence_count"),
             F.countDistinct("doc_id").cast("long").alias("doc_count"),
         )
     )
@@ -375,7 +377,7 @@ FROM tf WHERE tf >= 3 GROUP BY lang""",
     "agg_reverse_nested": (
         q_reverse_nested_agg,
         f"""WITH {_TF_SQL}
-SELECT term, sum(tf)::BIGINT AS nested_count, count(DISTINCT doc_id)::BIGINT AS doc_count
+SELECT term, sum(tf)::BIGINT AS occurrence_count, count(DISTINCT doc_id)::BIGINT AS doc_count
 FROM tf WHERE term IN ('dup', 'scan') GROUP BY term""",
     ),
     "agg_children": (

@@ -114,16 +114,29 @@ def q_suggest_phrase(spark, sf_dir):
     """`phrase` suggester (suggester_phrase.go:9): correct each query
     position to the df-heaviest dictionary term within edit distance 1
     (ties → lexicographic), recompose the phrase in position order.
-    The tiny query side is broadcast against the term dictionary, so
-    at scale this is one linear dictionary scan (same cost envelope as
-    fuzzy/term suggest)."""
+    Positions with NO candidate keep the original term (ES keeps the
+    source token when no correction clears confidence) and contribute
+    0 to the score — hence the LEFT join + coalesce. The tiny query
+    side is broadcast against the term dictionary, so at scale this is
+    one linear dictionary scan (same cost envelope as fuzzy/term
+    suggest)."""
     from pyspark.sql import Window
 
     dic = _term_dict(spark, sf_dir)
-    q = spark.createDataFrame([(0, "datx"), (1, "mergs")], "pos int, qterm string")
-    cand = F.broadcast(q).join(dic, F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
-    w = Window.partitionBy("pos").orderBy(F.desc("df"), F.asc("term"))
-    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    q = spark.createDataFrame(
+        [(0, "datx"), (1, "mergs"), (2, "zzzqqqxx")], "pos int, qterm string"
+    )
+    cand = F.broadcast(q).join(dic, F.levenshtein(F.col("term"), F.col("qterm")) <= 1, "left")
+    w = Window.partitionBy("pos").orderBy(F.desc_nulls_last("df"), F.asc("term"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pos",
+            F.coalesce(F.col("term"), F.col("qterm")).alias("term"),
+            F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+        )
+    )
     return best.groupBy().agg(
         F.array_join(
             F.transform(
@@ -224,9 +237,9 @@ ENTRIES = {
         q_suggest_phrase,
         """WITH dic AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT doc_id, unnest(list_distinct(
 regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) GROUP BY term),
-q AS (SELECT * FROM (VALUES (0, 'datx'), (1, 'mergs')) AS t(pos, qterm)),
-cand AS (SELECT pos, term, df FROM q JOIN dic ON levenshtein(term, qterm) <= 1),
-best AS (SELECT pos, term, df FROM (SELECT *, row_number() OVER (PARTITION BY pos ORDER BY df DESC, term ASC) AS rn FROM cand) WHERE rn = 1)
+q AS (SELECT * FROM (VALUES (0, 'datx'), (1, 'mergs'), (2, 'zzzqqqxx')) AS t(pos, qterm)),
+cand AS (SELECT pos, qterm, term, df FROM q LEFT JOIN dic ON levenshtein(term, qterm) <= 1),
+best AS (SELECT pos, coalesce(term, qterm) AS term, coalesce(df, 0) AS df FROM (SELECT *, row_number() OVER (PARTITION BY pos ORDER BY df DESC NULLS LAST, term ASC) AS rn FROM cand) WHERE rn = 1)
 SELECT string_agg(term, ' ' ORDER BY pos) AS suggestion, sum(df)::BIGINT AS score FROM best""",
     ),
     "get_by_id": (

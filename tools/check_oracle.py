@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -46,14 +47,17 @@ def main() -> int:
 
     qs, os_ = e.queries(), e.oracle_sql()
     failures = []
+    t_start = time.monotonic()
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
+        dt = time.monotonic() - t0
         if name not in os_:
-            print(f"  {name:32s} rows={len(srows):6d} (rows-only, no oracle)")
+            print(f"  {name:32s} rows={len(srows):6d} (rows-only, no oracle) [{dt:5.2f}s]")
             continue
         ores = con.sql(os_[name])
         ocols = [d[0] for d in ores.description]
@@ -62,7 +66,8 @@ def main() -> int:
         ok_count = len(srows) == len(orows)
         ok_vals = ok_cols and ok_count and norm_rows(scols, [tuple(r) for r in srows]) == norm_rows(ocols, orows)
         status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
-        print(f"  {name:32s} {status} rows={len(srows)}/{len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'}")
+        dt = time.monotonic() - t0
+        print(f"  {name:32s} {status} rows={len(srows)}/{len(orows)} [{dt:5.2f}s] cols={'=' if ok_cols else f'{scols} vs {ocols}'}")
         if status == "FAIL":
             failures.append(name)
             if ok_cols and ok_count:
@@ -71,6 +76,7 @@ def main() -> int:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
                 for x, y in diffs:
                     print(f"      spark={x}  oracle={y}")
+    print(f"total wall: {time.monotonic() - t_start:.1f}s")
     if failures:
         print("FAILURES:", failures)
         return 1
