@@ -279,7 +279,14 @@ def build_segment(
         sharded.repartition(pack_width, "tid", "shard")
         .sortWithinPartitions("tid", "shard", "doc_id")
         .mapInPandas(_make_stream_packer(block_size), schema=POSTINGS_SCHEMA)
-        .observe(pack_obs, F.approx_count_distinct("tid").alias("term_count"))
+        .observe(
+            pack_obs,
+            F.approx_count_distinct("tid").alias("term_count"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum(
+                F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb")
+            ).alias("postings_bytes"),
+        )
     )
     packed.write.mode("overwrite").parquet(os.path.join(seg, "postings.parquet"))
     # manifest term_count is HLL-approximate (observe() cannot run exact
@@ -299,6 +306,10 @@ def build_segment(
         "doc_id_min": stats_row["doc_id_min"],
         "doc_id_max": stats_row["doc_id_max"],
         "term_count": term_count,
+        # exact packed-postings sizing: feeds the query-side byte-based
+        # driver-path threshold (estimated pull size, not posting count)
+        "n_postings": int(pack_obs.get["n_postings"] or 0),
+        "postings_bytes": int(pack_obs.get["postings_bytes"] or 0),
         "bytes": nbytes,
         "n_shards": n_shards,
         "block_size": block_size,

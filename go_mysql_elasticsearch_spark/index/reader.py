@@ -23,6 +23,7 @@ class IndexReader:
         self._dict_df: DataFrame | None = None
         self._df_cache: dict[int, int] = {}  # tid → df (driver-side LRU-ish)
         self._tomb_cache: dict[int, int] | None = None
+        self._tomb_count: int | None = None
         # per-index analyzer/scoring settings (K5 parity); defaults if
         # the index predates settings persistence
         sp = os.path.join(index_dir, "settings.json")
@@ -49,6 +50,17 @@ class IndexReader:
     def avgdl(self) -> float:
         n = self.n_docs
         return (sum(m["sum_dl"] for m in self.manifests) / n) if n else 0.0
+
+    @property
+    def bytes_per_posting(self) -> float:
+        """Average packed bytes per posting across segments, from exact
+        manifest counters — sizes the query-side driver-path decision in
+        BYTES pulled, not posting count. Indexes built before these
+        counters existed fall back to a conservative estimate (varbyte
+        doc-delta + tf + dl ≈ 6 B/posting for web-page docs)."""
+        n = sum(m.get("n_postings", 0) for m in self.manifests)
+        b = sum(m.get("postings_bytes", 0) for m in self.manifests)
+        return (b / n) if n and b else 6.0
 
     def _seg_paths(self, name: str) -> list[tuple[str, str]]:
         return [
@@ -90,26 +102,33 @@ class IndexReader:
 
     def decode_postings(self) -> DataFrame:
         """Flat (segment, tid, shard, doc_id, tf, dl) rows from packed
-        blocks — debugging / invariant-testing view of the index."""
+        blocks — invariant-testing view, and the template any future
+        operator that needs raw postings should copy: per-block numpy
+        decode + np.repeat/np.concatenate batch assembly, no per-posting
+        Python loop."""
+        import numpy as np
         import pandas as pd
 
         from .codec import unpack_block
 
         def unpack(batches):
             for pdf in batches:
-                segs, tids, shards, docs, tfs, dls = [], [], [], [], [], []
-                for r in pdf.itertuples(index=False):
-                    d, t, l = unpack_block(r.docs_vb, r.tfs_vb, r.dls_vb)
-                    n = len(d)
-                    segs.extend([r.segment] * n)
-                    tids.extend([r.tid] * n)
-                    shards.extend([r.shard] * n)
-                    docs.extend(d.astype("int64").tolist())
-                    tfs.extend(t.astype("int64").tolist())
-                    dls.extend(l.astype("int64").tolist())
+                if not len(pdf):
+                    continue
+                per_block = [
+                    unpack_block(d, t, l)
+                    for d, t, l in zip(pdf["docs_vb"], pdf["tfs_vb"], pdf["dls_vb"])
+                ]
+                counts = np.fromiter((len(b[0]) for b in per_block), dtype=np.int64)
                 yield pd.DataFrame(
-                    {"segment": segs, "tid": tids, "shard": shards,
-                     "doc_id": docs, "tf": tfs, "dl": dls}
+                    {
+                        "segment": np.repeat(pdf["segment"].to_numpy(), counts),
+                        "tid": np.repeat(pdf["tid"].to_numpy(), counts),
+                        "shard": np.repeat(pdf["shard"].to_numpy(), counts),
+                        "doc_id": np.concatenate([b[0] for b in per_block]).astype(np.int64),
+                        "tf": np.concatenate([b[1] for b in per_block]).astype(np.int64),
+                        "dl": np.concatenate([b[2] for b in per_block]).astype(np.int64),
+                    }
                 )
 
         return self.postings().mapInPandas(
@@ -173,15 +192,62 @@ class IndexReader:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in tids if self._df_cache.get(t, 0) > 0}
 
+    # Above this many tombstones the driver-side dict path is refused
+    # and scorers take the distributed sentinel-row join (a 10^9-delete
+    # index must never collect its tombstones to the driver or ship
+    # them inside task closures).
+    TOMBSTONE_DICT_MAX = 100_000
+
+    def tombstones_count(self) -> int:
+        """Cached tombstone row count (post doc-level max-merge)."""
+        if self._tomb_count is None:
+            t = self.tombstones()
+            self._tomb_count = int(t.count()) if t is not None else 0
+        return self._tomb_count
+
     def tombstones_map(self) -> dict[int, int]:
         """doc_id → upto_seg, memoized (invalidated by reopening the
-        reader — writers create new readers after apply_changes)."""
+        reader — writers create new readers after apply_changes).
+
+        Guarded: only legal under TOMBSTONE_DICT_MAX — large delete sets
+        must flow through :meth:`dead_sentinel_rows` (distributed join)
+        instead of a driver dict captured in scorer closures."""
         if self._tomb_cache is None:
+            if self.tombstones_count() > self.TOMBSTONE_DICT_MAX:
+                raise ValueError(
+                    f"{self.tombstones_count()} tombstones exceed the driver-dict "
+                    f"threshold ({self.TOMBSTONE_DICT_MAX}); use dead_sentinel_rows()"
+                )
             t = self.tombstones()
             self._tomb_cache = (
                 {r["doc_id"]: int(r["upto_seg"]) for r in t.collect()} if t is not None else {}
             )
         return self._tomb_cache
+
+    def dead_sentinel_rows(self) -> DataFrame | None:
+        """Tombstones as postings-shaped sentinel rows (tid = -1,
+        first_doc_id = dead doc_id), one per (segment it kills, shard) —
+        unioned into the matched-postings frame so each shard scorer
+        receives exactly its own dead set through the same shuffle that
+        routes its postings. This is the scale path: the dead set never
+        touches the driver and per-task memory is bounded by the shard's
+        share of the deletes.
+
+        Returns None when there are no tombstones."""
+        t = self.tombstones()
+        if t is None:
+            return None
+        segs = self.spark.createDataFrame(
+            [(int(m["segment_id"]), int(m.get("n_shards", 8))) for m in self.manifests],
+            "seg int, n_shards int",
+        )
+        dead = t.crossJoin(F.broadcast(segs)).where(F.col("seg") <= F.col("upto_seg"))
+        return dead.select(
+            F.col("seg").cast("string").alias("segment"),
+            F.pmod("doc_id", F.col("n_shards")).cast("int").alias("shard"),
+            F.lit(-1).cast("long").alias("tid"),
+            F.col("doc_id").alias("first_doc_id"),
+        )
 
     def tombstones(self) -> DataFrame | None:
         """(doc_id, upto_seg): the doc's postings in segments ≤ upto_seg

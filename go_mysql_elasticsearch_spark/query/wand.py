@@ -243,9 +243,19 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         # segment-scoped tombstones: a doc is dead in THIS group iff its
         # tombstone covers this group's segment (upsert re-adds live in
-        # newer segments)
+        # newer segments). Small delete sets arrive via the dead_upto
+        # closure dict; large ones arrive as tid = -1 sentinel rows
+        # unioned into this group's frame (reader.dead_sentinel_rows) so
+        # the driver never materializes them.
         seg = int(pdf["segment"].iloc[0])
+        sent = pdf["tid"].to_numpy() == -1
         dead = frozenset(d for d, u in dead_upto.items() if seg <= u)
+        if sent.any():
+            dead = dead | frozenset(pdf.loc[sent, "first_doc_id"].astype("int64"))
+            pdf = pdf[~sent]
+            if not len(pdf):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "raw": pd.Series(dtype="float64")})
         lists = [
             _TermIter(idfs[tid], g, avgdl, k1, b)
             for tid, g in pdf.groupby("tid", sort=True)
@@ -263,13 +273,16 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
     return score_group
 
 
-# Below this many matched postings the query runs coordinator-local:
-# collect the matched blocks (pruned parquet scan, no shuffle, no Python
-# workers) and run WAND on the driver — the classic search-head serving
-# path. Above it, the shard-parallel distributed path takes over (the
-# 10^12-doc regime, where a head term's postings must never converge on
-# one node). Both paths share the same scorer code → identical results.
-DRIVER_PATH_MAX_POSTINGS = 2_000_000
+# Below this many estimated packed BYTES the query runs coordinator-
+# local: collect the matched blocks (pruned parquet scan, no shuffle, no
+# Python workers) and run WAND on the driver — the classic search-head
+# serving path. Above it, the shard-parallel distributed path takes over
+# (the 10^12-doc regime, where a head term's postings must never
+# converge on one node). Both paths share the same scorer code →
+# identical results. The estimate is Σ df(term) × bytes/posting from
+# exact manifest counters, so long-document corpora (fat dl varbytes)
+# trip to distributed earlier than short-doc ones.
+DRIVER_PATH_MAX_BYTES = 16 * 1024 * 1024
 
 
 def bm25_topk(
@@ -306,14 +319,23 @@ def bm25_topk(
         return empty
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}
-    dead_upto = reader.tombstones_map()
+    # Tombstone strategy: small delete sets ride the scorer closure as a
+    # dict (no extra shuffle); past the threshold they are unioned into
+    # the shard groups as sentinel rows — never collected to the driver.
+    big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
+    dead_upto = {} if big_tombs else reader.tombstones_map()
 
     matched = reader.postings().where(F.col("tid").isin(list(dfs)))
     scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b)
 
-    use_driver = strategy == "driver" or (
-        strategy == "auto" and sum(dfs.values()) <= DRIVER_PATH_MAX_POSTINGS
+    est_bytes = sum(dfs.values()) * reader.bytes_per_posting
+    use_driver = not big_tombs and (
+        strategy == "driver"
+        or (strategy == "auto" and est_bytes <= DRIVER_PATH_MAX_BYTES)
     )
+    if big_tombs:
+        dead_rows = reader.dead_sentinel_rows()
+        matched = matched.unionByName(dead_rows, allowMissingColumns=True)
     if use_driver:
         pdf = matched.toPandas()
         frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]

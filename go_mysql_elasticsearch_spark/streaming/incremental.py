@@ -111,20 +111,27 @@ def delete_by_query(
     mode: str = "or",
 ) -> int:
     """delete_by_query (vendored client delete_by_query.go:19): find
-    matching doc_ids, tombstone them. Returns the number deleted."""
+    matching doc_ids, tombstone them. Returns the number deleted.
+
+    The matched-id set goes STRAIGHT from the query DataFrame to the
+    tombstone parquet — never through the driver — so a delete matching
+    10^9 docs costs one distributed write, not a driver collect."""
     from ..query.wand import bm25_topk
 
     reader = IndexReader(spark, index_dir)
-    hits = bm25_topk(spark, reader, query, mode=mode, return_all=True).select("doc_id")
-    rows = hits.collect()
-    if not rows:
-        return 0
     new_seg = _next_segment_id(index_dir)
-    changes = spark.createDataFrame(rows, "doc_id long").select(
-        "doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg")
+    dead = (
+        bm25_topk(spark, reader, query, mode=mode, return_all=True)
+        .select("doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg"))
+        .cache()
     )
-    changes.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
-    return len(rows)
+    try:
+        n = dead.count()
+        if n:
+            dead.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
+        return n
+    finally:
+        dead.unpersist()
 
 
 def stream_changes_into_index(

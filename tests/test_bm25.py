@@ -86,3 +86,35 @@ def test_phrase_results_contain_phrase(spark, reader):
 
 def test_phrase_zero_hit(spark, reader):
     assert match_phrase(spark, reader, "zzz yyy", k=10).count() == 0
+
+
+def test_driver_path_threshold_is_byte_based(spark, tmp_path, monkeypatch):
+    """Long-document corpora pack more bytes per posting (wider dl
+    varints), so the byte-based estimate trips to the distributed path
+    earlier than a posting-count threshold would — and both paths agree."""
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader
+    from go_mysql_elasticsearch_spark.query import wand as wand_mod
+
+    def corpus(word_count):
+        rows = [
+            (i, f"u{i}", "en", " ".join(f"w{j % 50}" for j in range(word_count)))
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string, lang string, text string")
+
+    short_d, long_d = str(tmp_path / "short"), str(tmp_path / "long")
+    build_index(spark, corpus(8), short_d, n_segments=1, n_shards=2)
+    build_index(spark, corpus(900), long_d, n_segments=1, n_shards=2)
+    rs, rl = IndexReader(spark, short_d), IndexReader(spark, long_d)
+    assert rl.bytes_per_posting > rs.bytes_per_posting
+
+    # force the estimate over the threshold → auto must pick distributed,
+    # with results identical to the explicit driver path
+    monkeypatch.setattr(wand_mod, "DRIVER_PATH_MAX_BYTES", 0)
+    auto = [(r["doc_id"], r["score"]) for r in bm25_topk(spark, rl, ["w3"], k=5).collect()]
+    drv = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(spark, rl, ["w3"], k=5, strategy="driver").collect()
+    ]
+    assert auto == drv and len(auto) == 5

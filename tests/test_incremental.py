@@ -152,3 +152,29 @@ def test_streaming_foreachbatch(spark, idx, tmp_path):
     q2 = stream_changes_into_index(spark, stream, idx, str(tmp_path / "ckpt"), n_shards=2)
     q2.awaitTermination(120)
     assert IndexReader(spark, idx).n_docs == n_before
+
+
+def test_mass_delete_distributed_tombstones(spark, idx, monkeypatch):
+    """Delete >50% of the corpus by query, then force the sentinel-row
+    tombstone path (threshold = 0): query results must be identical to
+    the driver-dict path, and tombstones_map() must refuse to
+    materialize the delete set on the driver."""
+    import pytest as _pytest
+
+    from go_mysql_elasticsearch_spark.streaming.incremental import delete_by_query
+
+    n_total = IndexReader(spark, idx).n_docs
+    n = delete_by_query(spark, idx, ["the"])  # head term: most docs die
+    assert n > n_total * 0.5
+    hits_dict = _hits(spark, idx, ["data"], k=10)
+    assert bm25_topk(spark, IndexReader(spark, idx), ["the"], k=10).count() == 0
+
+    monkeypatch.setattr(IndexReader, "TOMBSTONE_DICT_MAX", 0)
+    r2 = IndexReader(spark, idx)
+    hits_join = [
+        (h["doc_id"], h["score"]) for h in bm25_topk(spark, r2, ["data"], k=10).collect()
+    ]
+    assert hits_dict == hits_join
+    assert bm25_topk(spark, r2, ["the"], k=10).count() == 0
+    with _pytest.raises(ValueError):
+        r2.tombstones_map()
