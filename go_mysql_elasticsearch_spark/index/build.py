@@ -89,6 +89,11 @@ POSTINGS_SCHEMA = StructType(
         StructField("docs_vb", BinaryType()),
         StructField("tfs_vb", BinaryType()),
         StructField("dls_vb", BinaryType()),
+        # per-posting occurrence positions, delta-varbyte with reset at
+        # every posting (slice lengths == tfs) — serves match_phrase /
+        # phrase_prefix / query_string phrases straight from the index,
+        # no docstore re-tokenize at query time
+        StructField("pos_vb", BinaryType()),
     ]
 )
 
@@ -110,9 +115,9 @@ def _make_stream_packer(block_size: int):
     single posting sub-list + one batch), which n_shards keeps small
     by construction.
     """
-    from .codec import vb_encode_with_lengths
+    from .codec import delta_encode_segmented, vb_encode_with_lengths
 
-    def pack_arrays(tid, shard, doc_ids, tfs, dls, bounds) -> pd.DataFrame:
+    def pack_arrays(tid, shard, doc_ids, tfs, dls, poss, bounds) -> pd.DataFrame:
         """Pack rows [bounds[0]..bounds[-1]) where bounds mark group starts."""
         out_term, out_shard, out_bid = [], [], []
         starts_all = []
@@ -141,6 +146,23 @@ def _make_stream_packer(block_size: int):
         l_off = np.concatenate(([0], np.cumsum(l_lens)))
         rs, re_ = starts - lo, ends - lo
         dv, tv, lv = memoryview(d_bytes), memoryview(t_bytes), memoryview(l_bytes)
+        # positions: one flat stream for [lo, hi), deltas resetting at
+        # every posting → block slices at posting boundaries are
+        # independently decodable. Per-VALUE byte lengths cumulated at
+        # posting boundaries give each block's byte range.
+        tfs_slice = tfs[lo:hi].astype(np.int64)
+        flat_pos = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in poss[lo:hi]])
+            if hi > lo else np.empty(0, dtype=np.uint64)
+        )
+        p_bytes, p_lens = vb_encode_with_lengths(
+            delta_encode_segmented(flat_pos, tfs_slice)
+        )
+        # byte offset of each posting's first position value
+        val_off = np.concatenate(([0], np.cumsum(p_lens)))
+        post_val_start = np.concatenate(([0], np.cumsum(tfs_slice)))
+        p_off = val_off[post_val_start]  # per-posting byte offsets (+ total at end)
+        pv = memoryview(p_bytes)
         return pd.DataFrame(
             {
                 "tid": np.concatenate(out_term).astype(np.int64),
@@ -155,35 +177,39 @@ def _make_stream_packer(block_size: int):
                 "docs_vb": [bytes(dv[d_off[a] : d_off[b]]) for a, b in zip(rs, re_)],
                 "tfs_vb": [bytes(tv[t_off[a] : t_off[b]]) for a, b in zip(rs, re_)],
                 "dls_vb": [bytes(lv[l_off[a] : l_off[b]]) for a, b in zip(rs, re_)],
+                "pos_vb": [bytes(pv[p_off[a] : p_off[b]]) for a, b in zip(rs, re_)],
             }
         )
 
     def pack_stream(batches):
-        carry = None  # (term, shard, doc_ids, tfs, dls) of the unfinished tail group
+        carry = None  # (term, shard, doc_ids, tfs, dls, poss) of the unfinished tail group
         for pdf in batches:
             tid = pdf["tid"].to_numpy(dtype=np.int64)
             shard = pdf["shard"].to_numpy()
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
+            poss = pdf["poss"].to_numpy()  # object array of int lists
             if carry is not None:
                 tid = np.concatenate([carry[0], tid])
                 shard = np.concatenate([carry[1], shard])
                 doc_ids = np.concatenate([carry[2], doc_ids])
                 tfs = np.concatenate([carry[3], tfs])
                 dls = np.concatenate([carry[4], dls])
+                poss = np.concatenate([carry[5], poss])
             n = len(tid)
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])) + 1
             if len(change) == 0:  # whole batch is one group → carry it all
-                carry = (tid, shard, doc_ids, tfs, dls)
+                carry = (tid, shard, doc_ids, tfs, dls, poss)
                 continue
             tail = change[-1]
             bounds = np.concatenate(([0], change)).tolist()
-            yield pack_arrays(tid, shard, doc_ids, tfs, dls, bounds)
-            carry = (tid[tail:n], shard[tail:n], doc_ids[tail:n], tfs[tail:n], dls[tail:n])
+            yield pack_arrays(tid, shard, doc_ids, tfs, dls, poss, bounds)
+            carry = (tid[tail:n], shard[tail:n], doc_ids[tail:n], tfs[tail:n],
+                     dls[tail:n], poss[tail:n])
         if carry is not None and len(carry[0]):
-            tid, shard, doc_ids, tfs, dls = carry
-            yield pack_arrays(tid, shard, doc_ids, tfs, dls, [0, len(tid)])
+            tid, shard, doc_ids, tfs, dls, poss = carry
+            yield pack_arrays(tid, shard, doc_ids, tfs, dls, poss, [0, len(tid)])
 
     return pack_stream
 
@@ -266,11 +292,19 @@ def build_segment(
     # needed by dictionary-walking ops (prefix/wildcard/fuzzy), served
     # by the lazily-built term_strings table (reader.term_strings()).
     # 64-bit collisions are negligible below ~10^9 distinct terms.
+    # posexplode keeps each occurrence's position; positions aggregate
+    # into a sorted int array per (tid, doc_id) — tf is its size, so the
+    # agg carries no extra count column. Partial (map-side) collect_list
+    # merge keeps this a single shuffle, same as the tf-count agg was.
     exploded = base.select(
-        "doc_id", "dl", F.explode(F.transform("_toks", lambda t: F.xxhash64(t))).alias("tid")
-    )
-    tf = exploded.groupBy("tid", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+        "doc_id", "dl", F.posexplode("_toks").alias("pos", "_tok")
+    ).select("doc_id", "dl", F.col("pos").cast("int").alias("pos"), F.xxhash64("_tok").alias("tid"))
+    tf = (
+        exploded.groupBy("tid", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"), F.first("dl").alias("dl"))
+        .select(
+            "tid", "doc_id", F.size("poss").cast("long").alias("tf"), "dl", "poss"
+        )
     )
     sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     pack_width = max(target_parts, int(spark.conf.get("spark.sql.shuffle.partitions")))
@@ -285,6 +319,7 @@ def build_segment(
             F.sum("n_docs").alias("n_postings"),
             F.sum(
                 F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb")
+                + F.length("pos_vb")
             ).alias("postings_bytes"),
         )
     )

@@ -95,3 +95,46 @@ def pack_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[b
 def unpack_block(doc_b: bytes, tf_b: bytes, dl_b: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     doc_ids = delta_decode(vb_decode(doc_b))
     return doc_ids, vb_decode(tf_b), vb_decode(dl_b)
+
+
+# ---------------------------------------------------------------------------
+# Positional payloads. Each posting's occurrence positions are stored
+# delta-encoded (first position absolute, reset at every posting), so a
+# block's position stream can be sliced at posting boundaries and the
+# per-posting slice lengths are exactly the tfs — no extra length column.
+# ---------------------------------------------------------------------------
+
+def delta_encode_segmented(flat: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Delta-encode a concatenation of sorted runs; deltas reset at the
+    start of every run (the run's first value stays absolute)."""
+    v = np.ascontiguousarray(flat, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = v.copy()
+    out[1:] = v[1:] - v[:-1]
+    starts = np.cumsum(seg_lens) - seg_lens
+    out[starts] = v[starts]
+    return out
+
+
+def delta_decode_segmented(deltas: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode_segmented` — segmented cumsum."""
+    d = deltas.astype(np.uint64)
+    if d.size == 0:
+        return d
+    c = np.cumsum(d)
+    ends = np.cumsum(seg_lens.astype(np.int64))
+    starts = ends - seg_lens
+    base = np.zeros(len(seg_lens), dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, seg_lens)
+
+
+def unpack_positions(pos_b: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block's position payload.
+
+    Returns (flat absolute positions, posting-start offsets); posting i
+    owns ``flat[offsets[i] : offsets[i] + tfs[i]]``."""
+    flat = delta_decode_segmented(vb_decode(pos_b), tfs)
+    ends = np.cumsum(tfs.astype(np.int64))
+    return flat, ends - tfs.astype(np.int64)

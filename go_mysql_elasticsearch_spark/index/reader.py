@@ -135,6 +135,47 @@ class IndexReader:
             unpack, schema="segment string, tid long, shard int, doc_id long, tf long, dl long"
         )
 
+    def term_doc_ids(self, tids: list[int]) -> DataFrame:
+        """(tid, doc_id) for live docs containing any of ``tids`` —
+        boolean term membership for query_string must/must_not, served
+        from the pruned postings scan (docs_vb only decoded; tf/dl/pos
+        payloads never leave parquet). Tombstones are removed by a
+        segment-scoped anti-join — no driver materialization."""
+        import numpy as np
+        import pandas as pd
+
+        from .codec import delta_decode, vb_decode
+
+        def unpack(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                per = [delta_decode(vb_decode(b)).astype(np.int64) for b in pdf["docs_vb"]]
+                counts = np.fromiter((len(x) for x in per), dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "segment": np.repeat(pdf["segment"].to_numpy(), counts),
+                        "tid": np.repeat(pdf["tid"].to_numpy(), counts),
+                        "doc_id": np.concatenate(per) if per else np.empty(0, np.int64),
+                    }
+                )
+
+        rows = (
+            self.postings()
+            .where(F.col("tid").isin(tids))
+            .select("segment", "tid", "docs_vb")
+            .mapInPandas(unpack, schema="segment string, tid long, doc_id long")
+        )
+        tomb = self.tombstones()
+        if tomb is not None:
+            t = tomb.select(F.col("doc_id").alias("_tdoc"), F.col("upto_seg").alias("_tseg"))
+            rows = rows.join(
+                t,
+                (rows["doc_id"] == t["_tdoc"]) & (rows["segment"].cast("int") <= t["_tseg"]),
+                "left_anti",
+            )
+        return rows.select("tid", "doc_id").distinct()
+
     def global_dict(self) -> DataFrame:
         """(tid, df, max_tf) across segments — the idf source.
 

@@ -1,27 +1,41 @@
-"""match_phrase: conjunctive BM25 + positional adjacency verification.
+"""match_phrase / match_phrase_prefix served from positional postings.
 
 Reference semantics: vendor/gopkg.in/olivere/elastic.v3/
-search_queries_match.go:42-50 (type=phrase). v1 strategy per
-SURVEY.md §2.4: AND-mode candidate retrieval over the packed index,
-then adjacency verification against the docstore text with a pure JVM
-array expression (no positional postings needed; the verify set is
-small because conjunctive candidates are selective). Scoring is the
-BM25 sum of the constituent terms, as ES does for phrases without
-slop boosts.
+search_queries_match.go:42-50 (type=phrase / phrase_prefix). Each
+posting block carries a delta-varbyte position payload (index/codec.py
+``unpack_positions``), so adjacency is verified INSIDE the shard-
+parallel scorer over the term-filtered postings scan — the docstore is
+never touched at query time (the round-1 implementation re-tokenized
+it per query: an unpruned corpus scan, the classic phrase-query
+scale-killer). Scoring is the BM25 sum of the constituent terms, as ES
+does for phrases without slop boosts; ranking contract as everywhere:
+round 6, (score DESC, doc_id ASC).
+
+Execution shape (mirrors wand.py):
+1. driver-side: analyze → tids → df/idf lookups (tiny dictionary).
+2. ``postings.where(tid.isin(q))`` — pruned scan INCLUDING pos_vb.
+3. per (segment, shard) group: decode sub-lists, AND-intersect doc
+   sets, chain-verify positions (pos(w0) ∩ pos(w1)-1 ∩ ...), score
+   survivors. Same driver/distributed cutover as wand (byte estimate).
+4. global deterministic ORDER BY + LIMIT k.
 """
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import TOKEN_PATTERN, tokens_col
+from ..analyzer import TOKEN_PATTERN
+from ..index.codec import unpack_block, unpack_positions
 from ..index.reader import IndexReader
-from .scoring import ROUND_DIGITS, analyze_query
-from .wand import bm25_topk
-import re
+from .scoring import ROUND_DIGITS, idf as _idf, tfpart
 
 _TOK = re.compile(TOKEN_PATTERN)
+_EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "raw": pd.Series(dtype="float64")})
 
 
 def phrase_words(phrase: str, pattern: str | None = None) -> list[str]:
@@ -30,12 +44,162 @@ def phrase_words(phrase: str, pattern: str | None = None) -> list[str]:
     return rx.findall(phrase.lower())
 
 
-def phrase_match_expr(toks_col: str, words: list[str]):
-    """JVM expression: token array contains the word sequence adjacently."""
-    m = len(words)
-    c = toks_col
-    conds = " AND ".join(f"{c}[i+{j}] = '{w}'" for j, w in enumerate(words))
-    return F.expr(f"size({c}) >= {m} AND exists(sequence(0, size({c}) - {m}), i -> {conds})")
+class _TidPostings:
+    """One term's decoded postings within a (segment, shard) group:
+    doc-sorted arrays + per-posting position slices."""
+
+    __slots__ = ("docs", "tfs", "dls", "pos_flat", "pos_off")
+
+    def __init__(self, g: pd.DataFrame):
+        order = np.argsort(g["first_doc_id"].to_numpy())
+        docs, tfs, dls, flats = [], [], [], []
+        gd, gt, gl, gp = (g["docs_vb"].to_numpy(), g["tfs_vb"].to_numpy(),
+                          g["dls_vb"].to_numpy(), g["pos_vb"].to_numpy())
+        for i in order:
+            d, t, l = unpack_block(gd[i], gt[i], gl[i])
+            docs.append(d.astype(np.int64))
+            tfs.append(t.astype(np.int64))
+            dls.append(l.astype(np.int64))
+            flats.append(unpack_positions(gp[i], t.astype(np.int64))[0].astype(np.int64))
+        self.docs = np.concatenate(docs)
+        self.tfs = np.concatenate(tfs)
+        self.dls = np.concatenate(dls)
+        self.pos_flat = np.concatenate(flats)
+        ends = np.cumsum(self.tfs)
+        self.pos_off = ends - self.tfs
+
+    def idx_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Posting indexes of the given doc_ids (must all be present)."""
+        return np.searchsorted(self.docs, doc_ids)
+
+    def positions(self, i: int) -> np.ndarray:
+        return self.pos_flat[self.pos_off[i] : self.pos_off[i] + self.tfs[i]]
+
+
+def _make_positional_scorer(
+    chain_tids: list[int],
+    score_tids: list[int],
+    idfs: dict[int, float],
+    avgdl: float,
+    dead_upto: dict[int, int],
+    k1: float,
+    b: float,
+    prefix_tids: frozenset[int] | None = None,
+):
+    """Group scorer: verify the position chain ``chain_tids`` (tid of
+    the phrase word at each offset) and, for phrase_prefix, require some
+    ``prefix_tids`` member adjacent after the chain. Survivors score
+    Σ idf·tfpart over ``score_tids``."""
+    from ..analyzer import BM25_B, BM25_K1
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    need = list(dict.fromkeys(chain_tids + score_tids))
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment"].iloc[0])
+        sent = pdf["tid"].to_numpy() == -1
+        dead = frozenset(d for d, u in dead_upto.items() if seg <= u)
+        if sent.any():
+            dead = dead | frozenset(pdf.loc[sent, "first_doc_id"].astype("int64"))
+            pdf = pdf[~sent]
+        data = {int(tid): _TidPostings(g) for tid, g in pdf.groupby("tid")}
+        if any(t not in data for t in need):
+            return _EMPTY
+        cand = data[need[0]].docs
+        for t in need[1:]:
+            cand = np.intersect1d(cand, data[t].docs, assume_unique=True)
+        prefix_data = (
+            [data[t] for t in (prefix_tids or ()) if t in data] if prefix_tids else None
+        )
+        if prefix_tids and not prefix_data:
+            return _EMPTY
+        if cand.size == 0:
+            return _EMPTY
+        out_docs, out_raw = [], []
+        m = len(chain_tids)
+        for d in cand:
+            if int(d) in dead:
+                continue
+            starts = data[chain_tids[0]].positions(
+                int(np.searchsorted(data[chain_tids[0]].docs, d))
+            )
+            ok = True
+            for j in range(1, m):
+                tp = data[chain_tids[j]]
+                starts = starts[np.isin(starts + j, tp.positions(int(np.searchsorted(tp.docs, d))))]
+                if starts.size == 0:
+                    ok = False
+                    break
+            if ok and prefix_data is not None:
+                ok = False
+                for tp in prefix_data:
+                    i = int(np.searchsorted(tp.docs, d))
+                    if i < len(tp.docs) and tp.docs[i] == d and np.isin(starts + m, tp.positions(i)).any():
+                        ok = True
+                        break
+            if not ok:
+                continue
+            raw = 0.0
+            for t in score_tids:
+                tp = data[t]
+                i = int(np.searchsorted(tp.docs, d))
+                raw += idfs[t] * tfpart(float(tp.tfs[i]), float(tp.dls[i]), avgdl, k1, b)
+            out_docs.append(int(d))
+            out_raw.append(raw)
+        return pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),
+                             "raw": pd.Series(out_raw, dtype="float64")})
+
+    return score_group
+
+
+def _positional_hits(
+    spark: SparkSession,
+    reader: IndexReader,
+    chain_words: list[str],
+    score_words: list[str],
+    prefix_tids: list[int] | None = None,
+) -> DataFrame | None:
+    """Shared engine: DataFrame(doc_id, raw) of docs matching the chain
+    (+optional prefix continuation), scored over score_words. Returns
+    None when the index predates positional payloads (legacy fallback).
+    Empty-result short-circuits return an empty frame."""
+    from .wand import DRIVER_PATH_MAX_BYTES, term_ids
+
+    if "pos_vb" not in reader.postings().columns:
+        return None
+    empty = spark.createDataFrame([], "doc_id long, raw double")
+    tids_map = term_ids(spark, list(dict.fromkeys(chain_words + score_words)))
+    dfs = reader.df_lookup(list(tids_map.values()))
+    chain_tids = [tids_map[w] for w in chain_words]
+    score_tids = list(dict.fromkeys(tids_map[w] for w in score_words))
+    if any(t not in dfs for t in chain_tids + score_tids):
+        return empty
+    n, avgdl = reader.n_docs, reader.avgdl
+    idfs = {t: _idf(n, d) for t, d in dfs.items()}
+    st = getattr(reader, "settings", {})
+    k1, b = st.get("bm25_k1"), st.get("bm25_b")
+
+    big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
+    dead_upto = {} if big_tombs else reader.tombstones_map()
+    all_tids = list(dict.fromkeys(chain_tids + score_tids + list(prefix_tids or [])))
+    matched = reader.postings().where(F.col("tid").isin(all_tids)).select(
+        "segment", "shard", "tid", "first_doc_id", "docs_vb", "tfs_vb", "dls_vb", "pos_vb"
+    )
+    if big_tombs:
+        matched = matched.unionByName(reader.dead_sentinel_rows(), allowMissingColumns=True)
+    scorer = _make_positional_scorer(
+        chain_tids, score_tids, idfs, avgdl, dead_upto, k1, b,
+        frozenset(prefix_tids) if prefix_tids else None,
+    )
+    est_bytes = sum(dfs.get(t, 0) for t in all_tids) * reader.bytes_per_posting
+    if not big_tombs and est_bytes <= DRIVER_PATH_MAX_BYTES:
+        pdf = matched.toPandas()
+        frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
+        hits = pd.concat(frames, ignore_index=True) if frames else _EMPTY
+        return spark.createDataFrame(hits, schema="doc_id long, raw double")
+    schema = "doc_id long, raw double"
+    return matched.groupBy("segment", "shard").applyInPandas(scorer, schema=schema)
 
 
 def match_phrase(
@@ -43,9 +207,80 @@ def match_phrase(
 ) -> DataFrame:
     pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
     words = phrase_words(phrase, pattern)
-    uniq = list(dict.fromkeys(words))
     if not words:
         return spark.createDataFrame([], "doc_id long, score double")
+    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)))
+    if hits is None:  # legacy index without positions: docstore verify
+        return _match_phrase_docstore(spark, reader, words, k, pattern)
+    out = hits.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def match_phrase_prefix(
+    spark: SparkSession,
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """type=phrase_prefix (search_queries_match.go:42-50): the last
+    query token is a PREFIX; it expands against the term dictionary
+    (first ``max_expansions`` in term order, as Lucene does) and a doc
+    matches when the full-word chain continues into any expansion.
+    Scoring: BM25 sum over the full (non-prefix) words — the expansion
+    position gates matching but contributes no score term, keeping
+    ranks independent of which expansion matched."""
+    pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
+    words = phrase_words(phrase, pattern)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if len(words) < 2:
+        return empty
+    full, prefix = words[:-1], words[-1]
+    exp = (
+        reader.term_strings()
+        .where(F.col("term").startswith(prefix))
+        .orderBy(F.asc("term"))
+        .limit(max_expansions)
+        .select("tid")
+        .collect()
+    )
+    if not exp:
+        return empty
+    hits = _positional_hits(
+        spark, reader, full, list(dict.fromkeys(full)), prefix_tids=[r["tid"] for r in exp]
+    )
+    if hits is None:
+        raise NotImplementedError("phrase_prefix requires a positional index")
+    out = hits.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_doc_filter(
+    spark: SparkSession, reader: IndexReader, words: list[str]
+) -> DataFrame | None:
+    """doc_ids containing the exact phrase — the query_string phrase
+    constraint, served from positional postings (None on legacy
+    indexes)."""
+    hits = _positional_hits(spark, reader, words, [])
+    return None if hits is None else hits.select("doc_id")
+
+
+# --- legacy (pre-positional) fallback --------------------------------------
+
+def phrase_match_expr(toks_col: str, words: list[str]):
+    """JVM expression: token array contains the word sequence adjacently
+    (docstore-verify fallback for indexes without pos_vb)."""
+    m = len(words)
+    c = toks_col
+    conds = " AND ".join(f"{c}[i+{j}] = '{w}'" for j, w in enumerate(words))
+    return F.expr(f"size({c}) >= {m} AND exists(sequence(0, size({c}) - {m}), i -> {conds})")
+
+
+def _match_phrase_docstore(spark, reader, words, k, pattern):
+    from ..analyzer import tokens_col
+    from .wand import bm25_topk
+
+    uniq = list(dict.fromkeys(words))
     candidates = bm25_topk(spark, reader, uniq, k=k, mode="and", return_all=True)
     docs = reader.docstore().select("doc_id", tokens_col("text", pattern=pattern).alias("__pt"))
     verified = (
@@ -54,6 +289,35 @@ def match_phrase(
         .select("doc_id", "score")
     )
     return verified.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_prefix_oracle_sql(
+    full_words: list[str], prefix: str, k: int = 10, max_expansions: int = 50
+) -> str:
+    """DuckDB twin of :func:`match_phrase_prefix`: same expansion cap
+    (first ``max_expansions`` dictionary terms in term order), same
+    adjacency, same BM25-over-full-words scoring."""
+    from .scoring import ROUND_DIGITS, bm25_ctes
+
+    uniq = list(dict.fromkeys(full_words))
+    m = len(full_words)
+    conds = " AND ".join(f"t[i+{j}] = '{w}'" for j, w in enumerate(full_words))
+    esc = prefix.replace("'", "''")
+    return f"""WITH {bm25_ctes(uniq)},
+exps AS (
+  SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks)
+  WHERE term LIKE '{esc}%' ORDER BY term LIMIT {max_expansions}
+),
+phrase_docs AS (
+  SELECT DISTINCT doc_id FROM toks, unnest(range(1, len(t) - {m} + 1)) AS u(i)
+  WHERE len(t) >= {m} + 1 AND {conds} AND t[i+{m}] IN (SELECT term FROM exps)
+),
+sc AS (
+  SELECT doc_id, sum(s) AS raw, count(*) AS matched FROM persc GROUP BY doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DIGITS}) AS score FROM sc
+WHERE matched = {len(uniq)} AND doc_id IN (SELECT doc_id FROM phrase_docs)
+ORDER BY round(raw, {ROUND_DIGITS}) DESC, doc_id ASC LIMIT {k}""".strip()
 
 
 def duckdb_phrase_docs_sql(words: list[str]) -> str:

@@ -60,7 +60,45 @@ def parse_query_string(q: str) -> ParsedQuery:
 
 
 def query_string_topk(spark, reader, q: str, k: int = 10):
-    """Compose the parsed query from scored frames + docstore filters."""
+    """Compose the parsed query entirely from index structures: scores
+    from WAND, must/must_not from postings doc membership (docs_vb-only
+    pruned scan), phrase constraints from positional postings. The
+    docstore is never scanned (round 1 re-tokenized it per query)."""
+    from pyspark.sql import functions as F
+
+    from .phrase import phrase_doc_filter
+    from .scoring import ROUND_DIGITS
+    from .wand import bm25_topk, term_ids
+
+    pq = parse_query_string(q)
+    pos = pq.positive_terms
+    if not pos:
+        return spark.createDataFrame([], "doc_id long, score double")
+    out = bm25_topk(spark, reader, pos, k=k, mode="or", return_all=True)
+    gate_terms = list(dict.fromkeys(pq.must + pq.must_not))
+    if gate_terms:
+        tmap = term_ids(spark, gate_terms)
+        member = reader.term_doc_ids(list(tmap.values())).cache()
+        for t in pq.must:
+            out = out.join(
+                member.where(F.col("tid") == tmap[t]).select("doc_id"), "doc_id", "left_semi"
+            )
+        for t in pq.must_not:
+            out = out.join(
+                member.where(F.col("tid") == tmap[t]).select("doc_id"), "doc_id", "left_anti"
+            )
+    for p in pq.phrases:
+        pf = phrase_doc_filter(spark, reader, p)
+        if pf is None:  # legacy index without positions
+            return _query_string_docstore(spark, reader, pq, k)
+        out = out.join(pf, "doc_id", "left_semi")
+    out = out.select("doc_id", F.round("score", ROUND_DIGITS).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _query_string_docstore(spark, reader, pq: ParsedQuery, k: int = 10):
+    """Pre-positional fallback: verify constraints against docstore
+    tokens (full corpus re-tokenize — legacy indexes only)."""
     from pyspark.sql import functions as F
 
     from ..analyzer import tokens_col
@@ -68,11 +106,7 @@ def query_string_topk(spark, reader, q: str, k: int = 10):
     from .scoring import ROUND_DIGITS
     from .wand import bm25_topk
 
-    pq = parse_query_string(q)
-    pos = pq.positive_terms
-    if not pos:
-        return spark.createDataFrame([], "doc_id long, score double")
-    scored = bm25_topk(spark, reader, pos, k=k, mode="or", return_all=True)
+    scored = bm25_topk(spark, reader, pq.positive_terms, k=k, mode="or", return_all=True)
     docs = reader.docstore().select("doc_id", tokens_col("text").alias("__qt"))
     cond = F.lit(True)
     for t in pq.must:

@@ -325,7 +325,12 @@ def bm25_topk(
     big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
     dead_upto = {} if big_tombs else reader.tombstones_map()
 
-    matched = reader.postings().where(F.col("tid").isin(list(dfs)))
+    # column-pruned: match scoring never touches the positional payload
+    # (pos_vb), so it must stay out of the parquet scan and the shuffle
+    matched = reader.postings().where(F.col("tid").isin(list(dfs))).select(
+        "segment", "shard", "tid", "first_doc_id", "last_doc_id",
+        "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
+    )
     scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b)
 
     est_bytes = sum(dfs.values()) * reader.bytes_per_posting

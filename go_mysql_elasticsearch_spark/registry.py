@@ -28,7 +28,7 @@ IDX_CACHE_ROOT = os.environ.get("SPARK_GRAFT_IDX_CACHE", os.path.join(REPO_ROOT,
 
 # Bump whenever the on-disk index format or analyzer defaults change —
 # salts the cache key so stale-format indexes are rebuilt, not reused.
-INDEX_FORMAT_VERSION = "3"
+INDEX_FORMAT_VERSION = "4"  # v4: positional payloads (pos_vb)
 
 _READERS: dict[str, IndexReader] = {}
 
@@ -70,6 +70,9 @@ _MATCH_FIXTURES: dict[str, tuple[list[str], str]] = {
 }
 
 _PHRASE_FIXTURE = "hash join"
+# phrase_prefix fixture: full words + trailing prefix (expands in the
+# term dictionary, first 50 in term order — Lucene's default cap)
+_PHRASE_PREFIX_FIXTURE = (["hash"], "jo")
 
 
 def _match_query(terms: list[str], mode: str):
@@ -93,6 +96,14 @@ def build_queries() -> dict:
     for name, (terms, mode) in _MATCH_FIXTURES.items():
         q[name] = _match_query(terms, mode)
     q["bm25_match_phrase"] = _phrase_query(_PHRASE_FIXTURE)
+
+    def _pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .query.phrase import match_phrase_prefix
+
+        full, prefix = _PHRASE_PREFIX_FIXTURE
+        return match_phrase_prefix(spark, index_for(spark, sf_dir), " ".join(full) + " " + prefix, k=10)
+
+    q["bm25_phrase_prefix"] = _pp
     for name, (fn, _sql) in all_entries().items():
         q[name] = fn
     return q
@@ -108,6 +119,9 @@ def build_oracles() -> dict[str, str]:
     o["bm25_match_phrase"] = bm25_oracle_sql(
         list(dict.fromkeys(pw)), mode="phrase", k=10, phrase=pw
     )
+    from .query.phrase import phrase_prefix_oracle_sql
+
+    o["bm25_phrase_prefix"] = phrase_prefix_oracle_sql(*_PHRASE_PREFIX_FIXTURE, k=10)
     for name, (_fn, sql) in all_entries().items():
         if sql is not None:
             o[name] = sql

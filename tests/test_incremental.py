@@ -178,3 +178,24 @@ def test_mass_delete_distributed_tombstones(spark, idx, monkeypatch):
     assert bm25_topk(spark, r2, ["the"], k=10).count() == 0
     with _pytest.raises(ValueError):
         r2.tombstones_map()
+
+
+def test_phrase_respects_tombstones(spark, idx, monkeypatch):
+    """Positional phrase serving must hide tombstoned docs via both the
+    dict path and the sentinel-row path."""
+    from go_mysql_elasticsearch_spark.query.phrase import match_phrase
+
+    r = IndexReader(spark, idx)
+    before = match_phrase(spark, r, "hash join", k=10**6).collect()
+    assert before, "fixture should contain the phrase"
+    victim = before[0]["doc_id"]
+    apply_changes(
+        spark, idx,
+        _mkdocs(spark, [(victim, "u", "en", "x")]).withColumn("action", F.lit("delete")),
+        n_shards=2,
+    )
+    after = {h["doc_id"] for h in match_phrase(spark, IndexReader(spark, idx), "hash join", k=10**6).collect()}
+    assert victim not in after and after == {h["doc_id"] for h in before} - {victim}
+    monkeypatch.setattr(IndexReader, "TOMBSTONE_DICT_MAX", 0)
+    after2 = {h["doc_id"] for h in match_phrase(spark, IndexReader(spark, idx), "hash join", k=10**6).collect()}
+    assert after2 == after

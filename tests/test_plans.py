@@ -88,9 +88,13 @@ def test_build_has_exactly_two_wide_shuffles(spark, tmp_path):
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     base = docs.select("doc_id", tokens_col("text").alias("_toks")).withColumn("dl", F.size("_toks"))
-    exploded = base.select("doc_id", "dl", F.explode(F.transform("_toks", lambda t: F.xxhash64(t))).alias("tid"))
-    tf = exploded.groupBy("tid", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    exploded = base.select(
+        "doc_id", "dl", F.posexplode("_toks").alias("pos", "_tok")
+    ).select("doc_id", "dl", F.col("pos").cast("int").alias("pos"), F.xxhash64("_tok").alias("tid"))
+    tf = (
+        exploded.groupBy("tid", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"), F.first("dl").alias("dl"))
+        .select("tid", "doc_id", F.size("poss").cast("long").alias("tf"), "dl", "poss")
     )
     sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
     packed = (
@@ -100,3 +104,38 @@ def test_build_has_exactly_two_wide_shuffles(spark, tmp_path):
     )
     n_exchanges = plan_of(packed).count("Exchange")
     assert n_exchanges == 2, plan_of(packed)
+
+
+def test_phrase_query_reads_only_postings(spark, reader, monkeypatch):
+    """Positional phrase serving must never touch the docstore — the
+    round-1 implementation re-tokenized docs.parquet per phrase query
+    (an unpruned corpus scan at 100 TB)."""
+    from go_mysql_elasticsearch_spark.query import wand as wand_mod
+    from go_mysql_elasticsearch_spark.query.phrase import match_phrase
+
+    monkeypatch.setattr(wand_mod, "DRIVER_PATH_MAX_BYTES", 0)  # force distributed
+    df = match_phrase(spark, reader, "hash join", k=10)
+    s = formatted(df)
+    assert "postings.parquet" in s and "docs.parquet" not in s, s
+
+
+def test_match_query_prunes_positional_payload(spark, reader):
+    """Non-phrase match queries must not read pos_vb (the fattest
+    postings column exists only for phrase serving)."""
+    from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+
+    df = bm25_topk(spark, reader, ["data"], k=10, strategy="distributed")
+    s = formatted(df)
+    m = re.search(r"ReadSchema: ([^\n]*)", s)
+    assert m and "pos_vb" not in m.group(1), s
+
+
+def test_query_string_reads_only_postings(spark, reader, monkeypatch):
+    """query_string must/must_not/phrase gates are all index-served."""
+    from go_mysql_elasticsearch_spark.query import wand as wand_mod
+    from go_mysql_elasticsearch_spark.query.querystring import query_string_topk
+
+    monkeypatch.setattr(wand_mod, "DRIVER_PATH_MAX_BYTES", 0)
+    df = query_string_topk(spark, reader, '+data -scan "hash join" merge', k=10)
+    s = formatted(df)
+    assert "postings.parquet" in s and "docs.parquet" not in s, s
