@@ -30,6 +30,8 @@ _PRIORITY = [
     "ann_cosine_brute",
     "ann_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_simhash_pairs",
     "text_lang_id",
     "text_quality",
     "text_token_counts",

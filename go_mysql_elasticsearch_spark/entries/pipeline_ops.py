@@ -50,14 +50,81 @@ def q_ann_brute(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
 
 
+def _emb_aug(spark, sf_dir):
+    """Embeddings plus 5 planted near-twins (vec_id+1000 = copy of
+    vec_id<5 with dim 1 nudged by +0.05). The fixture corpus has no
+    pair above cos 0.52 — sign-LSH legitimately finds nothing there —
+    so the twins give the ANN/near-dup entries non-trivial,
+    deterministic results. The oracle SQL plants the SAME twins
+    (identical double arithmetic both engines)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = e.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return e.unionByName(twins)
+
+
+_AUG_SQL = """aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000, list_concat([v[1] + 0.05], v[2:64])
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE vec_id < 5
+)"""
+
+
+def _sigs(spark, sf_dir):
+    """Persisted (vec_id, sig) LSH signature index beside the corpus —
+    built once per sf_dir (resume contract like the postings
+    manifests), reused by every ANN / near-dup entry."""
+    import hashlib
+    import os
+
+    from ..registry import IDX_CACHE_ROOT
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(IDX_CACHE_ROOT, f"sigs16aug-{os.path.basename(sf_dir)}-{tag}")
+    return S.build_sig_index(spark, _emb_aug(spark, sf_dir), path, n_planes=16)
+
+
 def q_ann_lsh(spark, sf_dir):
-    return S.lsh_ann_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+    """ANN top-5 via the persisted signature index: bucket lookup
+    (query sig ± 1 bit, broadcast join) → exact cosine re-rank. The
+    oracle computes bit-identical signatures from the same hyperplane
+    constants and the same hamming-1 candidate rule."""
+    return S.lsh_ann_topk(
+        _emb_aug(spark, sf_dir), query_vec_id=0, k=5, n_planes=16,
+        sigs=_sigs(spark, sf_dir),
+    )
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
-    LSH-bucketed scale path documented in pipeline/similarity.py)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline, input
+    bounded by max_id — the oracle shape the LSH path is checked
+    against; production path: dedup_embedding_lsh)."""
     return S.cosine_near_dups(_emb(spark, sf_dir), threshold=0.35, max_id=200)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed near-dup mining over the FULL (twin-augmented)
+    embeddings table — no id cap, because there is no cartesian to
+    bound: persisted signatures → band self-join (pigeonhole covers
+    hamming <= 3) → hamming filter → exact cosine >= 0.5."""
+    return S.cosine_near_dups_lsh(
+        _emb_aug(spark, sf_dir), threshold=0.5, n_planes=16, n_bands=4, max_hamming=3,
+        sigs=_sigs(spark, sf_dir),
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash pair mining: byte-band join → hamming <= 3 verify."""
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_lang_id(spark, sf_dir):
@@ -154,7 +221,36 @@ SELECT vec_id,
 FROM e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     ),
-    "ann_lsh": (q_ann_lsh, None),  # hyperplane planes are md5-python-seeded; verified vs brute in pytest
+    "ann_lsh": (
+        q_ann_lsh,
+        f"""WITH {_AUG_SQL},
+s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 16)} AS sig FROM aug),
+q AS (SELECT sig AS qsig, v AS qv FROM s WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM s, q
+WHERE vec_id <> 0 AND bit_count(xor(sig, qsig)) <= 1
+ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    ),
+    "dedup_embedding_lsh": (
+        q_dedup_embedding_lsh,
+        f"""WITH {_AUG_SQL},
+s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 16)} AS sig FROM aug),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM s x JOIN s y ON x.vec_id < y.vec_id
+  WHERE bit_count(xor(x.sig, y.sig)) <= 3
+)
+SELECT a, b,
+       round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) AS cos
+FROM cand
+WHERE round(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) >= 0.5
+ORDER BY a ASC, b ASC""",
+    ),
+    "dedup_simhash_pairs": (
+        q_dedup_simhash_pairs,
+        D.simhash_near_pairs_sql(max_hamming=3),
+    ),
     "dedup_embedding_cosine": (
         q_dedup_embedding,
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)

@@ -146,3 +146,59 @@ def simhash32_sql(table: str = "documents", where: str = "") -> str:
 ),
 sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
 SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pair mining: band join → hamming verify — the
+    pairing the fingerprints exist for.
+
+    The 32-bit fingerprint splits into 4 byte-bands; by pigeonhole any
+    pair within hamming <= 3 shares at least one exact band, so the
+    band self-join (shuffle on a uniform 1-byte+band key, no cartesian)
+    provably covers the hamming ball. Survivors verify
+    ``bit_count(xor) <= max_hamming`` exactly."""
+    assert max_hamming <= 3, "4 byte-bands guarantee recall only for hamming <= 3"
+    fp = simhash32(docs)
+    bands = None
+    for bnd in range(4):
+        part = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(bnd).alias("band"),
+            F.shiftright("simhash", bnd * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy(F.asc("a"), F.asc("b"))
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3, where: str = "") -> str:
+    """DuckDB twin of :func:`simhash_near_pairs` — the band stage is a
+    recall-preserving prefilter, so the twin states just the semantic
+    result: pairs with fingerprint hamming <= d."""
+    return f"""WITH fp AS ({simhash32_sql(where=where)})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+ORDER BY a, b"""

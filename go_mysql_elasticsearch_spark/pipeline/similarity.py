@@ -2,16 +2,29 @@
 
 Brute-force cosine top-k is the exact baseline: a broadcast join of
 the query vector against the table, dot products via ``F.aggregate``/
-``zip_with`` (JVM, no Python). The scale path is random-hyperplane LSH
-bucketing: candidates come from matching sign-bit prefixes, so the
-full-table scan becomes a bucket-key join (same shape as the MinHash
-band join in dedup.py). Hyperplanes are deterministic (md5-seeded), so
-results are reproducible with no stored model.
+``zip_with`` (JVM, no Python). The scale path is random-hyperplane LSH:
+signatures PERSIST beside the corpus (``build_sig_index``, the
+embedding analogue of term_strings.parquet) and queries become bucket
+lookups — a join against the ≤(n_planes+1) signature values within
+hamming 1 of the query's, never a scan-and-rehash. Pair mining
+(embedding near-dup dedup) goes band-join → hamming filter → exact
+cosine: splitting an n-plane signature into B bands guarantees (by
+pigeonhole) that every pair within hamming B-1 shares some exact band
+key, so the prefilter has deterministic recall over the hamming ball —
+no cartesian product anywhere.
+
+Hyperplanes are deterministic (md5-seeded), so signatures are
+reproducible across engines with no stored model — the DuckDB oracle
+computes bit-identical signatures from the same plane constants
+(verified: 0 sign flips across the fixture; a flip would need
+|dot| ≲ 1e-13, measure-zero for real embeddings).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -38,17 +51,27 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 5) -> DataFrame:
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+# Exact all-pairs is quadratic by definition; it exists as the oracle
+# baseline and refuses unbounded inputs so a missing cap can't silently
+# go n² on a real corpus (the scale path is cosine_near_dups_lsh).
+NEAR_DUPS_EXACT_MAX_ROWS = 10_000
+
+
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.35, max_id: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
-    round(cos, 4) >= threshold. Exact all-pairs baseline (the oracle
-    shape); at 10^9+ vectors, prefilter candidates with the LSH bucket
-    join in :func:`lsh_signatures` (same band-join shape as MinHash
-    dedup) so the n² comparison happens only within buckets.
-    Threshold applies to the ROUNDED cosine so Spark/DuckDB float
-    boundaries agree."""
+    round(cos, 4) >= threshold. Exact all-pairs BASELINE (the oracle
+    shape) — guarded by NEAR_DUPS_EXACT_MAX_ROWS; production pair
+    mining is :func:`cosine_near_dups_lsh`. Threshold applies to the
+    ROUNDED cosine so Spark/DuckDB float boundaries agree."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if max_id is not None:
         e = e.where(F.col("vec_id") < max_id)
+    n = e.count()
+    if n > NEAR_DUPS_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"exact all-pairs over {n} rows exceeds the {NEAR_DUPS_EXACT_MAX_ROWS} "
+            "baseline cap; use cosine_near_dups_lsh (bucketed) instead"
+        )
     a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
@@ -74,32 +97,149 @@ def _hyperplane(dim: int, plane_id: int) -> list[float]:
     return w
 
 
-def lsh_signatures(emb: DataFrame, n_planes: int = 8) -> DataFrame:
-    """(vec_id, sig) — sign-bit signature under deterministic planes."""
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    return [_hyperplane(dim, p) for p in range(n_planes)]
+
+
+def lsh_signatures(emb: DataFrame, n_planes: int = 16) -> DataFrame:
+    """(vec_id, sig, v) — sign-bit signature under deterministic planes
+    (bit p set ⇔ dot(v, plane_p) >= 0); pure Catalyst, no UDF."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     dim = e.select(F.size("v")).first()[0]
     sig = None
-    for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+    for p, w_vals in enumerate(hyperplanes(dim, n_planes)):
+        w = F.array(*[F.lit(x) for x in w_vals])
         bit = F.when(_dot(F.col("v"), w) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return e.select("vec_id", sig.cast("long").alias("sig"), "v")
 
 
-def lsh_ann_topk(emb: DataFrame, query_vec_id: int, k: int = 5, n_planes: int = 8) -> DataFrame:
-    """ANN: candidates share the LSH bucket (or differ by ≤1 bit), then
-    exact cosine re-rank. At 10^9+ vectors the bucket join replaces the
-    full scan; recall/latency trades via n_planes."""
-    sigs = lsh_signatures(emb, n_planes)
-    q = sigs.where(F.col("vec_id") == query_vec_id).select(
-        F.col("sig").alias("qsig"), F.col("v").alias("qv")
+def sig_sql_expr(dim: int, n_planes: int = 16, v_col: str = "v") -> str:
+    """The identical signature computation as a DuckDB SQL expression
+    (plane constants inlined as literals) — the oracle twin."""
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({v_col}, {pl}) >= 0 THEN {2**p} ELSE 0 END)"
+        for p, pl in enumerate(hyperplanes(dim, n_planes))
+    ) + ")::BIGINT"
+
+
+def build_sig_index(
+    spark: SparkSession, emb: DataFrame, path: str, n_planes: int = 16
+) -> DataFrame:
+    """Persist (vec_id, sig) beside the corpus — built once, reused by
+    every ANN query (the round-1 version recomputed every signature per
+    query). Idempotent: an existing _SUCCESS is a cache hit (same
+    resume contract as the index manifests)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lsh_signatures(emb, n_planes).select("vec_id", "sig").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    n_planes: int = 16,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """ANN: candidates come from a BUCKET LOOKUP — the query's signature
+    plus its n_planes 1-bit neighbors form a ≤(n_planes+1)-row broadcast
+    side joined on sig equality (at 10^9 vectors: a pruned hash join,
+    never a table rehash) — then exact cosine re-rank. ``sigs`` is the
+    persisted (vec_id, sig) index from :func:`build_sig_index`;
+    recomputed on the fly when absent (tests / ad-hoc)."""
+    spark = emb.sparkSession
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if sigs is None:
+        sigs = lsh_signatures(emb, n_planes).select("vec_id", "sig")
+    qsig = sigs.where(F.col("vec_id") == query_vec_id).first()
+    if qsig is None:
+        return spark.createDataFrame([], "vec_id long, cos double")
+    q0 = int(qsig["sig"])
+    bucket_sigs = spark.createDataFrame(
+        [(q0,)] + [(q0 ^ (1 << p),) for p in range(n_planes)], "sig long"
     )
-    j = sigs.crossJoin(F.broadcast(q)).where(F.col("vec_id") != query_vec_id)
-    # hamming(sig, qsig) <= 1 → bucket or adjacent bucket
-    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
-    cand = j.where(ham <= 1)
-    out = cand.select(
-        "vec_id",
-        F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4).alias("cos"),
+    cand = (
+        sigs.join(F.broadcast(bucket_sigs), "sig")
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    qv = e.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    out = (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4).alias("cos"),
+        )
     )
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def cosine_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Bucketed near-dup pair mining — the production path
+    :func:`cosine_near_dups` is the baseline for.
+
+    Stages (each a shuffle on a uniform key, no cartesian):
+    1. signatures (persisted or computed), split into ``n_bands`` band
+       keys; pigeonhole: hamming(a,b) <= n_bands-1 ⇒ some band matches
+       exactly, so the band self-join's candidate set PROVABLY covers
+       the hamming ball (deterministic recall, unlike tuned-probability
+       LSH banding).
+    2. hamming filter ``bit_count(xor) <= max_hamming`` (requires
+       max_hamming < n_bands for the guarantee).
+    3. exact rounded-cosine >= threshold on survivors.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if sigs is None:
+        sigs = lsh_signatures(emb, n_planes).select("vec_id", "sig")
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    bands = None
+    for bnd in range(n_bands):
+        part = sigs.select(
+            "vec_id",
+            "sig",
+            F.lit(bnd).alias("band"),
+            F.shiftright("sig", bnd * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va_id"),
+            F.col("b.vec_id").alias("vb_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+    )
+    ea = e.select(F.col("vec_id").alias("va_id"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vb_id"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    ).alias("cos")
+    return (
+        cand.join(ea, "va_id")
+        .join(eb, "vb_id")
+        .select(F.col("va_id").alias("a"), F.col("vb_id").alias("b"), cos)
+        .where(F.col("cos") >= threshold)
+        .orderBy(F.asc("a"), F.asc("b"))
+    )

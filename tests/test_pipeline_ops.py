@@ -110,3 +110,57 @@ def test_cosine_near_dups_finds_planted_pair(spark, emb):
     )
     pairs = S.cosine_near_dups(emb.unionByName(twin), threshold=0.9).collect()
     assert [(r["a"], r["b"], r["cos"]) for r in pairs] == [(0, 9001, 1.0)]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_near_dups_lsh_bucketed_no_cartesian(spark, emb):
+    """The bucketed pair miner must contain no cartesian/nested-loop
+    join, and its recall on a planted twin must match brute force."""
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    e2 = emb.unionByName(twin)
+    lsh = S.cosine_near_dups_lsh(e2, threshold=0.9)
+    p = _plan(lsh)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    got = {(r["a"], r["b"]) for r in lsh.collect()}
+    brute = {(r["a"], r["b"]) for r in S.cosine_near_dups(e2, threshold=0.9).collect()}
+    assert (0, 9000) in got and got >= brute
+
+
+def test_near_dups_exact_refuses_unbounded_input(spark, emb, monkeypatch):
+    monkeypatch.setattr(S, "NEAR_DUPS_EXACT_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="cosine_near_dups_lsh"):
+        S.cosine_near_dups(emb, threshold=0.9)
+
+
+def test_ann_lsh_bucket_lookup_no_rehash(spark, emb):
+    """ANN with a persisted signature index must not recompute
+    signatures: the plan joins the sig parquet against a tiny candidate
+    relation — no cartesian, no per-row hyperplane dot products."""
+    sigs = S.build_sig_index(spark, emb, "/tmp/test_sig_idx", n_planes=16)
+    df = S.lsh_ann_topk(emb, 0, k=5, n_planes=16, sigs=sigs)
+    p = _plan(df)
+    assert "CartesianProduct" not in p, p
+    # exactly one BroadcastNestedLoopJoin is expected: the 1-row query
+    # vector crossJoin for the re-rank; the candidate selection itself
+    # must be a hash join on sig
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_simhash_near_pairs_equals_brute(spark, docs):
+    """Band-join mining == brute-force hamming filter (pigeonhole
+    guarantee, not probabilistic recall)."""
+    d = docs.where(F.col("doc_id") < 80)
+    got = [(r["a"], r["b"], r["hamming"]) for r in D.simhash_near_pairs(d, max_hamming=3).collect()]
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash32(d).collect()}
+    ids = sorted(fps)
+    brute = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    assert got == brute
