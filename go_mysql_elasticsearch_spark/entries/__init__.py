@@ -37,6 +37,13 @@ _PRIORITY = [
     "text_token_counts",
     "text_fingerprint",
     "binary_metadata",
+    "function_score_fvf",
+    "function_score_weight",
+    "bool_dis_max_nested",
+    "agg_percentile_ranks",
+    "indices_routing",
+    "suggest_completion",
+    "sort_multi",
     "rowdoc_convert",
     "query_string",
     "min_score",

@@ -205,6 +205,19 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_percentile_ranks(spark, sf_dir):
+    """percentile_ranks (search_aggs_metrics_percentile_ranks.go:9):
+    for each probe value, the percentage of observed values <= it —
+    the inverse of percentiles; one pass, three conditional means."""
+    e = _events(spark, sf_dir)
+    pct = lambda v: F.round(
+        F.avg(F.when(F.col("value") <= v, 1.0).otherwise(0.0)) * 100, 6
+    )
+    return e.agg(
+        pct(50).alias("rank_50"), pct(200).alias("rank_200"), pct(800).alias("rank_800")
+    )
+
+
 def q_top_hits(spark, sf_dir):
     """top_hits (search_aggs_metrics_top_hits.go:17): top-2 docs per
     lang by (n_chars desc, doc_id asc)."""
@@ -464,6 +477,12 @@ FROM m""",
         q_percentiles,
         "SELECT round(quantile_cont(value, 0.5), 6) AS p50, round(quantile_cont(value, 0.95), 6) AS p95, "
         "round(quantile_cont(value, 0.99), 6) AS p99 FROM events",
+    ),
+    "agg_percentile_ranks": (
+        q_percentile_ranks,
+        "SELECT round(avg(CASE WHEN value <= 50 THEN 1.0 ELSE 0.0 END) * 100, 6) AS rank_50, "
+        "round(avg(CASE WHEN value <= 200 THEN 1.0 ELSE 0.0 END) * 100, 6) AS rank_200, "
+        "round(avg(CASE WHEN value <= 800 THEN 1.0 ELSE 0.0 END) * 100, 6) AS rank_800 FROM events",
     ),
     "agg_top_hits": (
         q_top_hits,

@@ -35,75 +35,95 @@ def _docstore(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_bool(spark, sf_dir):
-    """bool: must match(data) + should match(merge) + must_not lang=zh +
-    filter n_chars>50, top 10 (search_queries_bool.go:13-120)."""
-    must = _scored(spark, sf_dir, ["data"]).withColumnRenamed("score", "sm")
-    should = _scored(spark, sf_dir, ["merge"]).withColumnRenamed("score", "ss")
-    d = _docstore(spark, sf_dir)
-    keep = d.where((F.col("lang") != "zh") & (F.length("text") > 50)).select("doc_id")
-    out = (
-        must.join(should, "doc_id", "left")
-        .join(keep, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.round(F.col("sm") + F.coalesce(F.col("ss"), F.lit(0.0)), ROUND_DIGITS).alias("score"),
-        )
+    """bool: must match(data) + should match(merge) + lang != zh +
+    filter n_chars>50, top 10 (search_queries_bool.go:13-120) —
+    composed through the query AST (query/ast.py)."""
+    from ..query import ast as A
+
+    q = A.Bool(
+        must=(A.Match(("data",)),),
+        should=(A.Match(("merge",)),),
+        filter=(A.Ne("lang", "zh"), A.Range("n_chars", gt=50)),
     )
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def q_constant_score(spark, sf_dir):
     """constant_score (search_queries_constant_score.go:12): filter + boost."""
-    return (
-        _docstore(spark, sf_dir)
-        .where(F.col("lang") == "de")
-        .select("doc_id", F.lit(1.5).alias("score"))
+    from ..query import ast as A
+
+    return A.all_hits(
+        spark, index_for(spark, sf_dir), A.ConstantScore(A.Term("lang", "de"), boost=1.5)
     )
 
 
 def q_dis_max(spark, sf_dir):
     """dis_max with tie_breaker=0.3 (search_queries_dis_max.go:14)."""
-    a = _scored(spark, sf_dir, ["data"]).withColumnRenamed("score", "sa")
-    b = _scored(spark, sf_dir, ["merge"]).withColumnRenamed("score", "sb")
-    j = a.join(b, "doc_id", "full").select(
-        "doc_id",
-        F.coalesce("sa", F.lit(0.0)).alias("sa"),
-        F.coalesce("sb", F.lit(0.0)).alias("sb"),
-    )
-    best = F.greatest("sa", "sb")
-    total = best + 0.3 * (F.col("sa") + F.col("sb") - best)
-    out = j.select("doc_id", F.round(total, ROUND_DIGITS).alias("score"))
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    from ..query import ast as A
+
+    q = A.DisMax((A.Match(("data",)), A.Match(("merge",))), tie_breaker=0.3)
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def q_boosting(spark, sf_dir):
     """boosting: demote docs matching the negative clause by 0.4
     (search_queries_boosting.go:11)."""
-    pos = _scored(spark, sf_dir, ["data"])
-    neg = _scored(spark, sf_dir, ["dup"]).select("doc_id", F.lit(1).alias("_neg"))
-    out = pos.join(neg, "doc_id", "left").select(
-        "doc_id",
-        F.round(
-            F.when(F.col("_neg").isNotNull(), F.col("score") * 0.4).otherwise(F.col("score")),
-            ROUND_DIGITS,
-        ).alias("score"),
-    )
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    from ..query import ast as A
+
+    q = A.Boosting(A.Match(("data",)), A.Match(("dup",)), negative_boost=0.4)
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def q_function_score(spark, sf_dir):
     """function_score with exp decay on n_chars around 128
     (search_queries_fsq.go:14, fsq_score_funcs.go)."""
-    s = _scored(spark, sf_dir, ["scan"])
-    d = _docstore(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
-    out = s.join(d, "doc_id").select(
-        "doc_id",
-        F.round(
-            F.col("score") * F.exp(-F.abs(F.col("n_chars") - 128) / F.lit(200.0)),
-            ROUND_DIGITS,
-        ).alias("score"),
+    from ..query import ast as A
+
+    q = A.FunctionScore(A.Match(("scan",)), (A.Decay("n_chars", 128, 200, "exp"),))
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
+
+
+def q_function_score_fvf(spark, sf_dir):
+    """function_score field_value_factor(log1p, factor .01) on n_chars
+    (fsq_score_funcs.go field_value_factor)."""
+    from ..query import ast as A
+
+    q = A.FunctionScore(
+        A.Match(("data",)),
+        (A.FieldValueFactor("n_chars", factor=0.01, modifier="log1p"),),
     )
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
+
+
+def q_function_score_weight(spark, sf_dir):
+    """function_score weight + gauss decay, score_mode=multiply,
+    boost_mode=sum (fsq_score_funcs.go weight/gauss): total = bm25 +
+    0.5·gauss(n_chars; 100, 150)."""
+    from ..query import ast as A
+
+    q = A.FunctionScore(
+        A.Match(("merge",)),
+        (A.Weight(0.5), A.Decay("n_chars", 100, 150, "gauss")),
+        score_mode="multiply",
+        boost_mode="sum",
+    )
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
+
+
+def q_bool_dis_max_nested(spark, sf_dir):
+    """Nested composition through the AST: dis_max( bool(must=data,
+    should=merge), phrase("hash join") ), tie_breaker 0.2 — arbitrary
+    nesting like the reference's builder tree (search_source.go)."""
+    from ..query import ast as A
+
+    q = A.DisMax(
+        (
+            A.Bool(must=(A.Match(("data",)),), should=(A.Match(("merge",)),)),
+            A.Phrase("hash join"),
+        ),
+        tie_breaker=0.2,
+    )
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def q_match_all(spark, sf_dir):
@@ -134,14 +154,12 @@ def q_more_like_this(spark, sf_dir):
 def q_common_terms(spark, sf_dir):
     """common_terms (search_queries_common_terms.go:12): rare term
     'dup' required; high-df term 'the' contributes score only on docs
-    already matching the rare term."""
-    low = _scored(spark, sf_dir, ["dup"]).withColumnRenamed("score", "sl")
-    high = _scored(spark, sf_dir, ["the"]).withColumnRenamed("score", "sh")
-    out = low.join(high, "doc_id", "left").select(
-        "doc_id",
-        F.round(F.col("sl") + F.coalesce("sh", F.lit(0.0)), ROUND_DIGITS).alias("score"),
-    )
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    already matching the rare term — i.e. bool(must=rare, should=high)
+    through the AST."""
+    from ..query import ast as A
+
+    q = A.Bool(must=(A.Match(("dup",)),), should=(A.Match(("the",)),))
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def q_multi_match(spark, sf_dir):
@@ -167,18 +185,29 @@ def q_multi_match(spark, sf_dir):
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+_HL_TERMS = ["data", "merge"]
+
+
 def q_highlight(spark, sf_dir):
-    """highlight (highlight.go:10-330): fragment ±30 chars around the
-    first 'dup' occurrence in its top-scored doc, <em>-tagged."""
-    s = bm25_topk(spark, index_for(spark, sf_dir), ["dup"], k=1)
+    """highlight (highlight.go:10-330): MULTI-term, MULTI-fragment over
+    the query's analyzed terms — one ±20-char fragment per matched term
+    in each top-3 doc, every query term <em>-tagged inside every
+    fragment, fragments joined by ' ... ' (the ES fragment separator).
+    Terms absent from a doc contribute no fragment."""
+    s = bm25_topk(spark, index_for(spark, sf_dir), _HL_TERMS, k=3)
     d = _docstore(spark, sf_dir).select("doc_id", "text")
-    pos = F.locate("dup", F.col("text"))
-    frag_start = F.greatest(pos - 30, F.lit(1))
-    frag = F.substring(F.col("text"), frag_start, 63)
+
+    def frag(term: str):
+        pos = F.locate(term, F.col("text"))
+        raw = F.substring(F.col("text"), F.greatest(pos - 20, F.lit(1)), 45)
+        tagged = raw
+        for t in _HL_TERMS:
+            tagged = F.regexp_replace(tagged, t, f"<em>{t}</em>")
+        return F.when(pos > 0, tagged)
+
+    frags = F.filter(F.array(*[frag(t) for t in _HL_TERMS]), lambda x: x.isNotNull())
     return s.join(d, "doc_id").select(
-        "doc_id",
-        "score",
-        F.regexp_replace(frag, "dup", "<em>dup</em>").alias("fragment"),
+        "doc_id", "score", F.array_join(frags, " ... ").alias("highlight")
     )
 
 
@@ -296,6 +325,47 @@ SELECT cl.doc_id, round(sp * exp(-abs(length(d.text) - 128) / 200.0), {_R}) AS s
 FROM cl JOIN documents d ON d.doc_id = cl.doc_id
 ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
     ),
+    "function_score_fvf": (
+        q_function_score_fvf,
+        f"""WITH {bm25_ctes(['data'])}
+, cl AS (SELECT doc_id, round(sum(s), {_R}) AS sp FROM persc GROUP BY doc_id)
+SELECT cl.doc_id, round(sp * ln(1.0 + 0.01 * length(d.text)), {_R}) AS score
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
+    "function_score_weight": (
+        q_function_score_weight,
+        f"""WITH {bm25_ctes(['merge'])}
+, cl AS (SELECT doc_id, round(sum(s), {_R}) AS sp FROM persc GROUP BY doc_id)
+SELECT cl.doc_id,
+       round(sp + 0.5 * exp(-pow(length(d.text)::DOUBLE - 100, 2) / 45000.0), {_R}) AS score
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
+    "bool_dis_max_nested": (
+        q_bool_dis_max_nested,
+        f"""WITH {bm25_ctes(['data', 'merge', 'hash', 'join'])}
+, b AS (
+  SELECT doc_id,
+         round(round(sum(s) FILTER (WHERE term = 'data'), {_R})
+               + coalesce(round(sum(s) FILTER (WHERE term = 'merge'), {_R}), 0), {_R}) AS score
+  FROM persc GROUP BY doc_id
+  HAVING sum(s) FILTER (WHERE term = 'data') IS NOT NULL
+),
+phrase_docs AS (
+  SELECT DISTINCT doc_id FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 AND t[i] = 'hash' AND t[i+1] = 'join'
+),
+ph AS (
+  SELECT doc_id, round(sum(s), {_R}) AS score FROM persc
+  WHERE term IN ('hash', 'join') AND doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY doc_id HAVING count(*) = 2
+),
+u AS (SELECT * FROM b UNION ALL SELECT * FROM ph),
+agg AS (SELECT doc_id, max(score) AS best, sum(score) AS total FROM u GROUP BY doc_id)
+SELECT doc_id, round(best + 0.2 * (total - best), {_R}) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
     "match_all": (q_match_all, "SELECT doc_id, 1.0::DOUBLE AS score FROM documents"),
     "more_like_this": (
         q_more_like_this,
@@ -355,14 +425,24 @@ FROM bothf ORDER BY score DESC, doc_id ASC LIMIT 10""",
     ),
     "highlight": (
         q_highlight,
-        f"""WITH {bm25_ctes(['dup'])}
-, top1 AS (
+        f"""WITH {bm25_ctes(_HL_TERMS)}
+, top3 AS (
   SELECT doc_id, round(sum(s), {_R}) AS score FROM persc
-  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 1
+  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 3
+),
+fr AS (
+  SELECT t.doc_id, t.score,
+         list_filter([
+           CASE WHEN strpos(d.text, 'data') > 0 THEN
+             replace(replace(substr(d.text, greatest(strpos(d.text, 'data') - 20, 1), 45),
+                     'data', '<em>data</em>'), 'merge', '<em>merge</em>') END,
+           CASE WHEN strpos(d.text, 'merge') > 0 THEN
+             replace(replace(substr(d.text, greatest(strpos(d.text, 'merge') - 20, 1), 45),
+                     'data', '<em>data</em>'), 'merge', '<em>merge</em>') END
+         ], x -> x IS NOT NULL) AS frags
+  FROM top3 t JOIN documents d ON d.doc_id = t.doc_id
 )
-SELECT t.doc_id, t.score,
-       replace(substr(d.text, greatest(strpos(d.text, 'dup') - 30, 1), 63), 'dup', '<em>dup</em>') AS fragment
-FROM top1 t JOIN documents d ON d.doc_id = t.doc_id""",
+SELECT doc_id, score, array_to_string(frags, ' ... ') AS highlight FROM fr""",
     ),
     "percolate": (
         q_percolate,

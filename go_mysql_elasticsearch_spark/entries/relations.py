@@ -27,12 +27,12 @@ def q_query_string(spark, sf_dir):
 
 def q_not(spark, sf_dir):
     """not query (search_queries_not.go:11): match(data) minus docs
-    matching 'merge' — left-anti join of scored frames."""
-    r = index_for(spark, sf_dir)
-    pos = bm25_topk(spark, r, ["data"], return_all=True)
-    neg = bm25_topk(spark, r, ["merge"], return_all=True).select("doc_id")
-    out = pos.join(neg, "doc_id", "left_anti")
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    matching 'merge' — bool(must, must_not) through the query AST
+    (compiles to a left-anti join of scored frames)."""
+    from ..query import ast as A
+
+    q = A.Bool(must=(A.Match(("data",)),), must_not=(A.Match(("merge",)),))
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
 def _with_parent(docs):

@@ -180,6 +180,45 @@ def q_sort_top(spark, sf_dir):
     )
 
 
+def q_indices_routing(spark, sf_dir):
+    """indices / type routing (search_queries_indices.go:14,
+    search_queries_type.go:11): restrict the search to one index
+    partition. Segments ARE our index-routing unit (assignment:
+    doc_id % n_segments, index/build.py), so the filter is a
+    partition-column predicate — no data read outside the target."""
+    d = _docstore(spark, sf_dir).where(F.col("segment") == "1")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_suggest_completion(spark, sf_dir):
+    """completion suggester (suggester_completion.go:12): prefix walk
+    over the term dictionary, df as weight, top-5 by (weight desc,
+    term asc) — the FST-prefix analogue served from term_strings."""
+    return (
+        _term_dict(spark, sf_dir)
+        .where(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(5)
+    )
+
+
+def q_sort_multi(spark, sf_dir):
+    """multi-field sort with missing-value handling (sort.go:20-501:
+    field arrays + Missing(...)): lang ASC nulls LAST (missing='_last'),
+    then n_chars DESC, doc_id tie-break."""
+    d = _docstore(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(F.asc_nulls_last("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 def q_keyset_page(spark, sf_dir):
     """scroll/scan as keyset pagination (scroll.go:20, scan.go:30):
     page of 20 after doc_id 100, ordered by doc_id."""
@@ -252,6 +291,22 @@ SELECT string_agg(term, ' ' ORDER BY pos) AS suggestion, sum(df)::BIGINT AS scor
         "SELECT count(*)::BIGINT AS n FROM (SELECT doc_id FROM (SELECT doc_id, unnest("
         "regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents) "
         "WHERE term = 'dup' GROUP BY doc_id)",
+    ),
+    "indices_routing": (
+        q_indices_routing,
+        "SELECT count(*)::BIGINT AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id "
+        "FROM documents WHERE doc_id % 2 = 1",
+    ),
+    "suggest_completion": (
+        q_suggest_completion,
+        "SELECT term, count(*)::BIGINT AS weight FROM (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
+        "WHERE term LIKE 's%' GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5",
+    ),
+    "sort_multi": (
+        q_sort_multi,
+        "SELECT doc_id, lang, length(text) AS n_chars FROM documents "
+        "ORDER BY lang ASC NULLS LAST, n_chars DESC, doc_id ASC LIMIT 15",
     ),
     "sort_top": (
         q_sort_top,
