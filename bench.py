@@ -101,25 +101,26 @@ def build_throughput(master_cores: int, sf_dir: str, replicate: int, repeats: in
             "wall_all_sec": [round(w, 3) for w in walls]}
 
 
-def query_latency(spark, sf_dir: str) -> tuple[dict, dict]:
-    from pyspark.sql import functions as F
-
-    from go_mysql_elasticsearch_spark import registry
+def _timed_queries(spark, reader, queries: dict) -> tuple[dict, dict]:
+    """Median-of-3 per query + p50/p99 over all runs. Values are either
+    (terms, mode) match specs or ("phrase", text) phrase specs."""
+    from go_mysql_elasticsearch_spark.query.phrase import match_phrase
     from go_mysql_elasticsearch_spark.query.wand import bm25_topk
 
-    reader = registry.index_for(spark, sf_dir)
-    # warm: cache the postings scan once (serving-mode working set)
-    postings = reader.postings().cache()
-    postings.count()
-    reader.postings = lambda: postings  # serve from the cached plan
+    def run(spec):
+        if spec[0] == "phrase":
+            return match_phrase(spark, reader, spec[1], k=10).collect()
+        terms, mode = spec
+        return bm25_topk(spark, reader, terms, k=10, mode=mode).collect()
+
     per_query: dict[str, float] = {}
     lat: list[float] = []
-    for name, (terms, mode) in HEADLINE.items():
-        bm25_topk(spark, reader, terms, k=10, mode=mode).collect()  # warm
+    for name, spec in queries.items():
+        run(spec)  # warm
         runs = []
         for _ in range(3):
             t0 = time.time()
-            bm25_topk(spark, reader, terms, k=10, mode=mode).collect()
+            run(spec)
             runs.append(time.time() - t0)
         per_query[name] = round(sorted(runs)[1], 4)  # median of 3
         lat.extend(runs)
@@ -129,6 +130,51 @@ def query_latency(spark, sf_dir: str) -> tuple[dict, dict]:
         "p99_sec": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 4),
     }
     return per_query, stats
+
+
+def query_latency(spark, sf_dir: str) -> tuple[dict, dict]:
+    from go_mysql_elasticsearch_spark import registry
+
+    reader = registry.index_for(spark, sf_dir)
+    # warm: cache the postings scan once (serving-mode working set)
+    postings = reader.postings().cache()
+    postings.count()
+    reader.postings = lambda: postings  # serve from the cached plan
+    return _timed_queries(spark, reader, HEADLINE)
+
+
+# Big-index query set: the replicated (~640k-doc) corpus, where WAND
+# does real pruning work and the ~0.12 s Spark job-overhead floor is no
+# longer the whole measurement (the regime VERDICT r1 asked for). The
+# head term 'the' has df ≈ N — worst-case posting skew — and the phrase
+# runs the positional verifier end-to-end.
+BIG_HEADLINE = {
+    "qb_head_the": (["the"], "or"),
+    "qb_or2": (["data", "merge"], "or"),
+    "qb_and2": (["dup", "scan"], "and"),
+    "qb_phrase": ("phrase", "hash join"),
+}
+
+
+def big_index_latency(spark, sf_dir: str, replicate: int) -> tuple[dict, dict, int]:
+    """Build one replicated index (kept for the query phase), measure
+    the BIG_HEADLINE set against it."""
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader
+
+    idx = tempfile.mkdtemp(prefix="bench_bigidx_")
+    try:
+        docs, n_docs = _replicated_docs(spark, sf_dir, replicate, parts=64)
+        build_index(spark, docs, idx, n_segments=1, n_shards=32)
+        reader = IndexReader(spark, idx)
+        postings = reader.postings().cache()
+        postings.count()
+        reader.postings = lambda: postings
+        per_query, stats = _timed_queries(spark, reader, BIG_HEADLINE)
+        postings.unpersist()
+        return per_query, stats, n_docs
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def main() -> None:
@@ -142,6 +188,7 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
 
     per_query, lat_stats = query_latency(spark, SF_DIR)
+    big_queries, big_stats, big_n = big_index_latency(spark, SF_DIR, REPLICATE)
     build = build_throughput(CPUS, SF_DIR, REPLICATE)
     spark.stop()  # free the JVM before the scaling probes measure
 
@@ -166,6 +213,12 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "query_p99_sec": lat_stats["p99_sec"],
+        "big_index": {
+            "n_docs": big_n,
+            "queries": big_queries,
+            "p50_sec": big_stats["p50_sec"],
+            "p99_sec": big_stats["p99_sec"],
+        },
         "build_docs_per_sec": build["docs_per_sec"],
         "build_n_docs": build["n_docs"],
         "build_wall_sec": build["wall_sec"],

@@ -2,10 +2,10 @@
 
 Dataflow (SURVEY.md §3.1 "Spark shape"):
 
-    read → extract/select → tokenize (JVM regexp) → explode →
-    groupBy(term, doc_id) tf  [shuffle 1, map-side partial agg] →
-    applyInPandas over (term, shard) → packed posting blocks  [shuffle 2]
-    → parquet shard + manifest
+    read → extract/select → tokenize (JVM regexp) → posexplode →
+    repartition(term, shard) + sort  [the ONE wide shuffle] →
+    mapInPandas streaming packer (derives tf/dl/positions from sorted
+    runs) → packed posting blocks → parquet shard + manifest
 
 Reference analogues: the bootstrap dump→convert→bulk pipeline
 (river/river.go:141-149, canal/dump.go:103-126) becomes a batch job;
@@ -25,7 +25,7 @@ Scale notes (the 10^12-doc story):
   independently → resumable, incremental (new docs = new segment), and
   bounded task memory regardless of corpus size.
 - The only Python in the build is the block packer (Arrow-batched,
-  numpy-vectorized); tokenize/tf/agg are whole-stage-codegen JVM.
+  numpy-vectorized); tokenize/explode stay whole-stage-codegen JVM.
 """
 
 from __future__ import annotations
@@ -103,22 +103,47 @@ def segment_dir(index_dir: str, segment_id: int | str) -> str:
 
 
 def _make_stream_packer(block_size: int):
-    """Streaming per-partition packer for mapInPandas over input sorted
-    by (term, shard, doc_id).
+    """Streaming per-partition packer for mapInPandas over TOKEN-level
+    input sorted by (tid, shard, doc_id, pos).
 
-    All numpy: group boundaries via change-point detection on the
-    sorted key columns, one varbyte encode per column per batch-flush
-    (per-value independence lets us slice per-block byte ranges from
-    cumulative lengths), block metadata via np.*.reduceat. No pandas
-    groupby, no re-sort, no per-group DataFrame. Groups spanning Arrow
-    batch boundaries are carried over; memory is bounded by (largest
-    single posting sub-list + one batch), which n_shards keeps small
-    by construction.
+    Postings are DERIVED here from the sorted runs — tf is the run
+    length of (tid, doc_id), positions are the run's pos values, dl
+    rides every token row — which is what lets the whole postings job
+    run with ONE wide shuffle: the repartition that co-locates each
+    (term, shard) sub-list IS the aggregation (a pre-agg stage would
+    shuffle every position anyway, so it saved nothing and cost a hash
+    aggregate; measured 2x build throughput on removal).
+
+    All numpy: boundaries via change-point detection on the sorted key
+    columns, one varbyte encode per column per batch-flush (per-value
+    independence lets us slice per-block byte ranges from cumulative
+    lengths), block metadata via np.*.reduceat. No pandas groupby, no
+    re-sort. Groups spanning Arrow batch boundaries are carried over;
+    memory is bounded by (largest single (term, shard) token run + one
+    batch), which n_shards keeps small by construction.
     """
     from .codec import delta_encode_segmented, vb_encode_with_lengths
 
-    def pack_arrays(tid, shard, doc_ids, tfs, dls, poss, bounds) -> pd.DataFrame:
-        """Pack rows [bounds[0]..bounds[-1]) where bounds mark group starts."""
+    def pack_region(tid, shard, doc_id, dl, pos, n_tok) -> pd.DataFrame:
+        """Pack token rows [0..n_tok) — the region ends exactly at a
+        (tid, shard) group boundary."""
+        t_, s_ = tid[:n_tok], shard[:n_tok]
+        d_, l_, p_ = doc_id[:n_tok], dl[:n_tok], pos[:n_tok]
+        # posting boundaries: change of (tid, shard, doc_id)
+        chg = np.flatnonzero(
+            (t_[1:] != t_[:-1]) | (s_[1:] != s_[:-1]) | (d_[1:] != d_[:-1])
+        ) + 1
+        p_starts = np.concatenate(([0], chg)).astype(np.int64)
+        p_ends = np.concatenate((chg, [n_tok])).astype(np.int64)
+        tfs = p_ends - p_starts
+        doc_ids = d_[p_starts]
+        dls = l_[p_starts]
+        g_tid = t_[p_starts]
+        g_shard = s_[p_starts]
+        # group boundaries in posting space
+        gchg = np.flatnonzero((g_tid[1:] != g_tid[:-1]) | (g_shard[1:] != g_shard[:-1])) + 1
+        bounds = np.concatenate(([0], gchg, [len(p_starts)])).astype(np.int64)
+
         out_term, out_shard, out_bid = [], [], []
         starts_all = []
         for gi in range(len(bounds) - 1):
@@ -126,42 +151,30 @@ def _make_stream_packer(block_size: int):
             g_starts = np.arange(s, e, block_size)
             starts_all.append(g_starts)
             nb = len(g_starts)
-            out_term.append(np.repeat(tid[s], nb))
-            out_shard.append(np.repeat(shard[s], nb))
+            out_term.append(np.repeat(g_tid[s], nb))
+            out_shard.append(np.repeat(g_shard[s], nb))
             out_bid.append(np.arange(nb, dtype=np.int32))
         starts = np.concatenate(starts_all)
-        # block ends: next start, capped at its group's end
         grp_of_start = np.repeat(np.arange(len(bounds) - 1), [len(a) for a in starts_all])
         ends = np.minimum(starts + block_size, np.asarray(bounds[1:])[grp_of_start])
         # delta doc_ids, reset at block starts (block-local decodability)
-        lo, hi = bounds[0], bounds[-1]
-        deltas = doc_ids[lo:hi].astype(np.uint64).copy()
-        deltas[1:] -= doc_ids[lo : hi - 1].astype(np.uint64)
-        deltas[starts - lo] = doc_ids[starts]
+        deltas = doc_ids.astype(np.uint64).copy()
+        deltas[1:] -= doc_ids[:-1].astype(np.uint64)
+        deltas[starts] = doc_ids[starts]
         d_bytes, d_lens = vb_encode_with_lengths(deltas)
-        t_bytes, t_lens = vb_encode_with_lengths(tfs[lo:hi])
-        l_bytes, l_lens = vb_encode_with_lengths(dls[lo:hi])
+        t_bytes, t_lens = vb_encode_with_lengths(tfs)
+        l_bytes, l_lens = vb_encode_with_lengths(dls)
         d_off = np.concatenate(([0], np.cumsum(d_lens)))
         t_off = np.concatenate(([0], np.cumsum(t_lens)))
         l_off = np.concatenate(([0], np.cumsum(l_lens)))
-        rs, re_ = starts - lo, ends - lo
         dv, tv, lv = memoryview(d_bytes), memoryview(t_bytes), memoryview(l_bytes)
-        # positions: one flat stream for [lo, hi), deltas resetting at
-        # every posting → block slices at posting boundaries are
-        # independently decodable. Per-VALUE byte lengths cumulated at
-        # posting boundaries give each block's byte range.
-        tfs_slice = tfs[lo:hi].astype(np.int64)
-        flat_pos = (
-            np.concatenate([np.asarray(p, dtype=np.uint64) for p in poss[lo:hi]])
-            if hi > lo else np.empty(0, dtype=np.uint64)
-        )
-        p_bytes, p_lens = vb_encode_with_lengths(
-            delta_encode_segmented(flat_pos, tfs_slice)
-        )
-        # byte offset of each posting's first position value
+        # positions: the region's token pos stream, deltas resetting at
+        # every posting → block slices at posting boundaries stay
+        # independently decodable; byte ranges from per-value lengths
+        # cumulated at posting starts.
+        p_bytes, p_lens = vb_encode_with_lengths(delta_encode_segmented(p_, tfs))
         val_off = np.concatenate(([0], np.cumsum(p_lens)))
-        post_val_start = np.concatenate(([0], np.cumsum(tfs_slice)))
-        p_off = val_off[post_val_start]  # per-posting byte offsets (+ total at end)
+        p_off = val_off[np.concatenate((p_starts, [n_tok]))]
         pv = memoryview(p_bytes)
         return pd.DataFrame(
             {
@@ -171,45 +184,41 @@ def _make_stream_packer(block_size: int):
                 "first_doc_id": doc_ids[starts],
                 "last_doc_id": doc_ids[ends - 1],
                 "n_docs": (ends - starts).astype(np.int32),
-                "max_tf": np.maximum.reduceat(tfs[lo:hi], rs).astype(np.int32),
-                "min_dl": np.minimum.reduceat(dls[lo:hi], rs).astype(np.int32),
-                "sum_tf": np.add.reduceat(tfs[lo:hi], rs).astype(np.int64),
-                "docs_vb": [bytes(dv[d_off[a] : d_off[b]]) for a, b in zip(rs, re_)],
-                "tfs_vb": [bytes(tv[t_off[a] : t_off[b]]) for a, b in zip(rs, re_)],
-                "dls_vb": [bytes(lv[l_off[a] : l_off[b]]) for a, b in zip(rs, re_)],
-                "pos_vb": [bytes(pv[p_off[a] : p_off[b]]) for a, b in zip(rs, re_)],
+                "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+                "min_dl": np.minimum.reduceat(dls, starts).astype(np.int32),
+                "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
+                "docs_vb": [bytes(dv[d_off[a] : d_off[b]]) for a, b in zip(starts, ends)],
+                "tfs_vb": [bytes(tv[t_off[a] : t_off[b]]) for a, b in zip(starts, ends)],
+                "dls_vb": [bytes(lv[l_off[a] : l_off[b]]) for a, b in zip(starts, ends)],
+                "pos_vb": [bytes(pv[p_off[a] : p_off[b]]) for a, b in zip(starts, ends)],
             }
         )
 
     def pack_stream(batches):
-        carry = None  # (term, shard, doc_ids, tfs, dls, poss) of the unfinished tail group
+        carry = None  # token arrays of the unfinished tail (tid, shard) group
         for pdf in batches:
             tid = pdf["tid"].to_numpy(dtype=np.int64)
             shard = pdf["shard"].to_numpy()
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
-            poss = pdf["poss"].to_numpy()  # object array of int lists
+            doc_id = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dl = pdf["dl"].to_numpy(dtype=np.int64)
+            pos = pdf["pos"].to_numpy(dtype=np.uint64)
             if carry is not None:
                 tid = np.concatenate([carry[0], tid])
                 shard = np.concatenate([carry[1], shard])
-                doc_ids = np.concatenate([carry[2], doc_ids])
-                tfs = np.concatenate([carry[3], tfs])
-                dls = np.concatenate([carry[4], dls])
-                poss = np.concatenate([carry[5], poss])
+                doc_id = np.concatenate([carry[2], doc_id])
+                dl = np.concatenate([carry[3], dl])
+                pos = np.concatenate([carry[4], pos])
             n = len(tid)
             change = np.flatnonzero((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])) + 1
             if len(change) == 0:  # whole batch is one group → carry it all
-                carry = (tid, shard, doc_ids, tfs, dls, poss)
+                carry = (tid, shard, doc_id, dl, pos)
                 continue
             tail = change[-1]
-            bounds = np.concatenate(([0], change)).tolist()
-            yield pack_arrays(tid, shard, doc_ids, tfs, dls, poss, bounds)
-            carry = (tid[tail:n], shard[tail:n], doc_ids[tail:n], tfs[tail:n],
-                     dls[tail:n], poss[tail:n])
+            yield pack_region(tid, shard, doc_id, dl, pos, tail)
+            carry = (tid[tail:n], shard[tail:n], doc_id[tail:n], dl[tail:n], pos[tail:n])
         if carry is not None and len(carry[0]):
-            tid, shard, doc_ids, tfs, dls, poss = carry
-            yield pack_arrays(tid, shard, doc_ids, tfs, dls, poss, [0, len(tid)])
+            tid, shard, doc_id, dl, pos = carry
+            yield pack_region(tid, shard, doc_id, dl, pos, len(tid))
 
     return pack_stream
 
@@ -277,10 +286,9 @@ def build_segment(
     stats_row = obs.get
     _mark("docstore")
 
-    # Job 2 — postings. One shuffle for the (term, doc_id) tf agg, one
-    # explicit-width shuffle co-locating each (term, shard) sub-list
-    # sorted so the streaming packer sees contiguous groups in doc_id
-    # order. The width is pinned (AQE would otherwise coalesce the
+    # Job 2 — postings. ONE explicit-width shuffle co-locating each
+    # (term, shard) sub-list, sorted so the streaming packer sees
+    # contiguous (tid, shard, doc_id, pos) runs. The width is pinned (AQE would otherwise coalesce the
     # small bench shuffle to 1-2 tasks and serialize the Python stage;
     # at real scale you want it pinned to ~2-3x cluster cores anyway).
     # Output files stay sorted by term → parquet min/max row-group
@@ -292,26 +300,21 @@ def build_segment(
     # needed by dictionary-walking ops (prefix/wildcard/fuzzy), served
     # by the lazily-built term_strings table (reader.term_strings()).
     # 64-bit collisions are negligible below ~10^9 distinct terms.
-    # posexplode keeps each occurrence's position; positions aggregate
-    # into a sorted int array per (tid, doc_id) — tf is its size, so the
-    # agg carries no extra count column. Partial (map-side) collect_list
-    # merge keeps this a single shuffle, same as the tf-count agg was.
+    # posexplode keeps each occurrence's position. TOKEN rows go
+    # straight into the co-locating shuffle — no (term, doc) pre-agg
+    # stage: positions make the agg's map-side combine worthless (every
+    # position ships regardless), so the aggregate hash stage was pure
+    # overhead (removing it measured ~2x build throughput). tf/dl/
+    # positions are derived from the sorted runs inside the packer.
     exploded = base.select(
         "doc_id", "dl", F.posexplode("_toks").alias("pos", "_tok")
     ).select("doc_id", "dl", F.col("pos").cast("int").alias("pos"), F.xxhash64("_tok").alias("tid"))
-    tf = (
-        exploded.groupBy("tid", "doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("poss"), F.first("dl").alias("dl"))
-        .select(
-            "tid", "doc_id", F.size("poss").cast("long").alias("tf"), "dl", "poss"
-        )
-    )
-    sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    sharded = exploded.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     pack_width = max(target_parts, int(spark.conf.get("spark.sql.shuffle.partitions")))
     pack_obs = Observation()
     packed = (
         sharded.repartition(pack_width, "tid", "shard")
-        .sortWithinPartitions("tid", "shard", "doc_id")
+        .sortWithinPartitions("tid", "shard", "doc_id", "pos")
         .mapInPandas(_make_stream_packer(block_size), schema=POSTINGS_SCHEMA)
         .observe(
             pack_obs,

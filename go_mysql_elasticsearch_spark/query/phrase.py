@@ -109,46 +109,59 @@ def _make_positional_scorer(
         cand = data[need[0]].docs
         for t in need[1:]:
             cand = np.intersect1d(cand, data[t].docs, assume_unique=True)
-        prefix_data = (
-            [data[t] for t in (prefix_tids or ()) if t in data] if prefix_tids else None
-        )
-        if prefix_tids and not prefix_data:
+        if prefix_tids and not any(t in data for t in prefix_tids):
             return _EMPTY
+        if dead and cand.size:
+            cand = cand[~np.isin(cand, np.fromiter(dead, dtype=np.int64))]
         if cand.size == 0:
             return _EMPTY
-        out_docs, out_raw = [], []
+
+        # Vectorized chain verify over ALL candidates at once. Key
+        # trick: (candidate index << 32 | position) packs (doc, pos)
+        # into one int64, so "position p+j of word_j exists in doc d"
+        # becomes one np.isin over flat key arrays — no per-doc loop.
+        def keyed_positions(tp: _TidPostings) -> np.ndarray:
+            pidx = np.searchsorted(tp.docs, cand)
+            ok = (pidx < len(tp.docs)) & (tp.docs[np.minimum(pidx, len(tp.docs) - 1)] == cand)
+            ci = np.flatnonzero(ok)
+            pidx = pidx[ok]
+            lens = tp.tfs[pidx]
+            starts = tp.pos_off[pidx]
+            total = int(lens.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            first = np.cumsum(lens) - lens
+            gather = np.arange(total, dtype=np.int64) - np.repeat(first, lens) + np.repeat(starts, lens)
+            pos = tp.pos_flat[gather]
+            return (np.repeat(ci, lens).astype(np.int64) << 32) | pos.astype(np.int64)
+
         m = len(chain_tids)
-        for d in cand:
-            if int(d) in dead:
-                continue
-            starts = data[chain_tids[0]].positions(
-                int(np.searchsorted(data[chain_tids[0]].docs, d))
+        s_keys = keyed_positions(data[chain_tids[0]])
+        for j in range(1, m):
+            if s_keys.size == 0:
+                return _EMPTY
+            s_keys = s_keys[np.isin(s_keys + j, keyed_positions(data[chain_tids[j]]))]
+        if prefix_tids is not None:
+            if s_keys.size == 0:
+                return _EMPTY
+            exp_keys = np.concatenate(
+                [keyed_positions(data[t]) for t in prefix_tids if t in data]
             )
-            ok = True
-            for j in range(1, m):
-                tp = data[chain_tids[j]]
-                starts = starts[np.isin(starts + j, tp.positions(int(np.searchsorted(tp.docs, d))))]
-                if starts.size == 0:
-                    ok = False
-                    break
-            if ok and prefix_data is not None:
-                ok = False
-                for tp in prefix_data:
-                    i = int(np.searchsorted(tp.docs, d))
-                    if i < len(tp.docs) and tp.docs[i] == d and np.isin(starts + m, tp.positions(i)).any():
-                        ok = True
-                        break
-            if not ok:
-                continue
-            raw = 0.0
-            for t in score_tids:
-                tp = data[t]
-                i = int(np.searchsorted(tp.docs, d))
-                raw += idfs[t] * tfpart(float(tp.tfs[i]), float(tp.dls[i]), avgdl, k1, b)
-            out_docs.append(int(d))
-            out_raw.append(raw)
-        return pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),
-                             "raw": pd.Series(out_raw, dtype="float64")})
+            s_keys = s_keys[np.isin(s_keys + m, exp_keys)]
+        if s_keys.size == 0:
+            return _EMPTY
+        hit_idx = np.unique(s_keys >> 32)
+        hit_docs = cand[hit_idx]
+
+        raw = np.zeros(hit_docs.size, dtype=np.float64)
+        for t in score_tids:
+            tp = data[t]
+            pidx = np.searchsorted(tp.docs, hit_docs)
+            raw += idfs[t] * tfpart(
+                tp.tfs[pidx].astype(np.float64), tp.dls[pidx].astype(np.float64), avgdl, k1, b
+            )
+        return pd.DataFrame({"doc_id": pd.Series(hit_docs, dtype="int64"),
+                             "raw": pd.Series(raw, dtype="float64")})
 
     return score_group
 

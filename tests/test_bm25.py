@@ -118,3 +118,16 @@ def test_driver_path_threshold_is_byte_based(spark, tmp_path, monkeypatch):
         for r in bm25_topk(spark, rl, ["w3"], k=5, strategy="driver").collect()
     ]
     assert auto == drv and len(auto) == 5
+
+
+def test_or_kernels_identical(spark, reader, monkeypatch):
+    """Vectorized top-k OR kernel == block-max WAND traversal, doc for
+    doc and score for score (same math, same rounding, same tie-break)."""
+    from go_mysql_elasticsearch_spark.query import wand as W
+
+    for q in (["the"], ["data", "merge"], ["fast", "query", "batch", "value"]):
+        monkeypatch.setattr(W, "OR_KERNEL", "vectorized")
+        vec = [(r["doc_id"], r["score"]) for r in bm25_topk(spark, reader, q, k=10).collect()]
+        monkeypatch.setattr(W, "OR_KERNEL", "wand")
+        wnd = [(r["doc_id"], r["score"]) for r in bm25_topk(spark, reader, q, k=10).collect()]
+        assert vec == wnd, (q, vec, wnd)

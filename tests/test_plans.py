@@ -80,9 +80,10 @@ def test_small_dim_join_broadcasts(spark, reader):
     assert "BroadcastHashJoin" in plan_of(df)
 
 
-def test_build_has_exactly_two_wide_shuffles(spark, tmp_path):
-    """The postings job is tf-agg exchange + pack exchange — no hidden
-    third shuffle creeps in."""
+def test_build_has_exactly_one_wide_shuffle(spark, tmp_path):
+    """The postings job is ONE co-locating exchange — token rows go
+    straight to the (term, shard) sort + packer; no pre-agg stage and
+    no hidden extra shuffle creeps in."""
     from go_mysql_elasticsearch_spark.analyzer import tokens_col
     from go_mysql_elasticsearch_spark.index.build import POSTINGS_SCHEMA, _make_stream_packer
 
@@ -91,19 +92,14 @@ def test_build_has_exactly_two_wide_shuffles(spark, tmp_path):
     exploded = base.select(
         "doc_id", "dl", F.posexplode("_toks").alias("pos", "_tok")
     ).select("doc_id", "dl", F.col("pos").cast("int").alias("pos"), F.xxhash64("_tok").alias("tid"))
-    tf = (
-        exploded.groupBy("tid", "doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("poss"), F.first("dl").alias("dl"))
-        .select("tid", "doc_id", F.size("poss").cast("long").alias("tf"), "dl", "poss")
-    )
-    sharded = tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+    sharded = exploded.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
     packed = (
         sharded.repartition(8, "tid", "shard")
-        .sortWithinPartitions("tid", "shard", "doc_id")
+        .sortWithinPartitions("tid", "shard", "doc_id", "pos")
         .mapInPandas(_make_stream_packer(128), schema=POSTINGS_SCHEMA)
     )
     n_exchanges = plan_of(packed).count("Exchange")
-    assert n_exchanges == 2, plan_of(packed)
+    assert n_exchanges == 1, plan_of(packed)
 
 
 def test_phrase_query_reads_only_postings(spark, reader, monkeypatch):
