@@ -41,6 +41,7 @@ _PRIORITY = [
     "function_score_weight",
     "bool_dis_max_nested",
     "agg_percentile_ranks",
+    "index_stats",
     "indices_routing",
     "suggest_completion",
     "sort_multi",

@@ -150,6 +150,19 @@ def q_suggest_phrase(spark, sf_dir):
 
 # --- retrieval services ----------------------------------------------------
 
+def q_index_stats(spark, sf_dir):
+    """_stats / monitoring analogue (reference K9: the river's http
+    stat endpoint, river/status.go): per-segment doc counts straight
+    from the lineage manifests (no scan) cross-checked against live
+    docstore counts — the manifests also carry term_count, n_postings,
+    postings_bytes, wall_time (asserted in tests/test_resume.py)."""
+    r = index_for(spark, sf_dir)
+    rows = [(str(m["segment_id"]), int(m["n_docs"])) for m in r.manifests]
+    manifest_df = spark.createDataFrame(rows, "segment string, n_docs long")
+    live = r.docstore().groupBy("segment").agg(F.count(F.lit(1)).cast("long").alias("live_docs"))
+    return manifest_df.join(live, "segment").orderBy("segment")
+
+
 def q_get_by_id(spark, sf_dir):
     """get-by-id point lookup (get.go:23; reference verifies docs this
     way: river/river_test.go:275-296)."""
@@ -291,6 +304,11 @@ SELECT string_agg(term, ' ' ORDER BY pos) AS suggestion, sum(df)::BIGINT AS scor
         "SELECT count(*)::BIGINT AS n FROM (SELECT doc_id FROM (SELECT doc_id, unnest("
         "regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents) "
         "WHERE term = 'dup' GROUP BY doc_id)",
+    ),
+    "index_stats": (
+        q_index_stats,
+        "SELECT (doc_id % 2)::VARCHAR AS segment, count(*)::BIGINT AS n_docs, "
+        "count(*)::BIGINT AS live_docs FROM documents GROUP BY 1 ORDER BY 1",
     ),
     "indices_routing": (
         q_indices_routing,
