@@ -42,6 +42,9 @@ _PRIORITY = [
     "bool_dis_max_nested",
     "agg_percentile_ranks",
     "index_stats",
+    "pipeline_min_sum_bucket",
+    "missing_lang",
+    "sort_script",
     "indices_routing",
     "suggest_completion",
     "sort_multi",

@@ -301,6 +301,19 @@ def q_bucket_script_and_avg_bucket(spark, sf_dir):
     )
 
 
+def q_min_sum_bucket(spark, sf_dir):
+    """min_bucket / sum_bucket second-level aggregation
+    (search_aggs_pipeline_{min_bucket,sum_bucket}.go) — the two bucket
+    reducers avg/max_bucket left implied."""
+    h = _hourly(spark, sf_dir)
+    return h.agg(
+        F.min("c").cast("long").alias("min_bucket_count"),
+        F.sum("c").cast("long").alias("sum_bucket_count"),
+        F.round(F.min("v"), 6).alias("min_bucket_value"),
+        F.round(F.sum("v"), 6).alias("sum_bucket_value"),
+    )
+
+
 def _tf_exploded(spark, sf_dir):
     """(doc_id, lang, term, tf) — the nested (term, tf) elements of
     each doc, the explode side of the §2.4 nested-agg mapping."""
@@ -519,5 +532,11 @@ FROM m""",
         f"""WITH h AS ({_HOURLY_SQL}), r AS (SELECT *, round(v / c, 6) AS ratio FROM h)
 SELECT round(avg(c), 6) AS avg_bucket_count, max(c)::BIGINT AS max_bucket_count,
        round(avg(ratio), 6) AS avg_ratio FROM r""",
+    ),
+    "pipeline_min_sum_bucket": (
+        q_min_sum_bucket,
+        f"""WITH h AS ({_HOURLY_SQL})
+SELECT min(c)::BIGINT AS min_bucket_count, sum(c)::BIGINT AS sum_bucket_count,
+       round(min(v), 6) AS min_bucket_value, round(sum(v), 6) AS sum_bucket_value FROM h""",
     ),
 }

@@ -220,6 +220,28 @@ def q_suggest_completion(spark, sf_dir):
     )
 
 
+def q_missing_lang(spark, sf_dir):
+    """`missing` query (search_queries_missing.go:12) — docs with NULL
+    lang (the explicit dual of `exists`)."""
+    return (
+        _docstore(spark, sf_dir)
+        .where(F.col("lang").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_sort_script(spark, sf_dir):
+    """script sort (sort.go ScriptSort): order by a computed expression
+    — any deterministic column expression slots into the same orderBy
+    contract (doc_id tie-break)."""
+    d = _docstore(spark, sf_dir)
+    return (
+        d.select("doc_id", (F.length("text") % 7).alias("skey"))
+        .orderBy(F.asc("skey"), F.asc("doc_id"))
+        .limit(12)
+    )
+
+
 def q_sort_multi(spark, sf_dir):
     """multi-field sort with missing-value handling (sort.go:20-501:
     field arrays + Missing(...)): lang ASC nulls LAST (missing='_last'),
@@ -320,6 +342,15 @@ SELECT string_agg(term, ' ' ORDER BY pos) AS suggestion, sum(df)::BIGINT AS scor
         "SELECT term, count(*)::BIGINT AS weight FROM (SELECT doc_id, unnest(list_distinct("
         "regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term FROM documents) "
         "WHERE term LIKE 's%' GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5",
+    ),
+    "missing_lang": (
+        q_missing_lang,
+        "SELECT count(*)::BIGINT AS n FROM documents WHERE lang IS NULL",
+    ),
+    "sort_script": (
+        q_sort_script,
+        "SELECT doc_id, length(text) % 7 AS skey FROM documents "
+        "ORDER BY skey ASC, doc_id ASC LIMIT 12",
     ),
     "sort_multi": (
         q_sort_multi,
