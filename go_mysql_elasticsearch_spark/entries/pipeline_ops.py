@@ -51,8 +51,9 @@ def q_ann_brute(spark, sf_dir):
 
 
 def _emb_aug(spark, sf_dir):
-    """Embeddings plus 5 planted near-twins (vec_id+1000 = copy of
-    vec_id<5 with dim 1 nudged by +0.05). The fixture corpus has no
+    """Embeddings plus 5 planted near-twins (vec_id+10^7 = copy of
+    vec_id<5 with dim 1 nudged by +0.05; the offset is far beyond any
+    real vec_id at every scale factor). The fixture corpus has no
     pair above cos 0.52 — sign-LSH legitimately finds nothing there —
     so the twins give the ANN/near-dup entries non-trivial,
     deterministic results. The oracle SQL plants the SAME twins
@@ -61,7 +62,7 @@ def _emb_aug(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     twins = e.where(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1) + F.lit(0.05)),
             F.slice("embedding", 2, 63),
@@ -73,7 +74,7 @@ def _emb_aug(spark, sf_dir):
 _AUG_SQL = """aug AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000, list_concat([v[1] + 0.05], v[2:64])
+  SELECT vec_id + 10000000, list_concat([v[1] + 0.05], v[2:64])
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
   WHERE vec_id < 5
 )"""

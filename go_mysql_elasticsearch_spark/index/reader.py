@@ -92,9 +92,14 @@ class IndexReader:
         if tomb is None:
             return d
         t = tomb.select(F.col("doc_id").alias("_tdoc"), F.col("upto_seg").alias("_tseg"))
+        # broadcast only while the delete set is small; past the
+        # threshold let Catalyst shuffle the anti-join (a 10^9-row
+        # tombstone table must never be broadcast)
+        if self.tombstones_count() <= self.TOMBSTONE_DICT_MAX:
+            t = F.broadcast(t)
         return (
             d.join(
-                F.broadcast(t),
+                t,
                 (d["doc_id"] == t["_tdoc"]) & (d["segment"].cast("int") <= t["_tseg"]),
                 "left_anti",
             )
