@@ -43,6 +43,7 @@ _PRIORITY = [
     "agg_percentile_ranks",
     "index_stats",
     "pipeline_min_sum_bucket",
+    "sessionize_events",
     "missing_lang",
     "sort_script",
     "indices_routing",

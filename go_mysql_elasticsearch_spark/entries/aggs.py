@@ -314,6 +314,21 @@ def q_min_sum_bucket(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization (the custom stateful operator, batch shape): per-
+    user sessions split at 30-min inactivity gaps over the events
+    table. The streaming twin (applyInPandasWithState) is asserted
+    output-identical in tests/test_sessionize.py."""
+    from ..streaming.sessionize import sessionize
+
+    s = sessionize(_events(spark, sf_dir), gap_sec=1800)
+    return s.select(
+        "user_id", "session_id", "n_events",
+        F.date_format("t_start", "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+        F.date_format("t_end", "yyyy-MM-dd HH:mm:ss").alias("t_end"),
+    )
+
+
 def _tf_exploded(spark, sf_dir):
     """(doc_id, lang, term, tf) — the nested (term, tf) elements of
     each doc, the explode side of the §2.4 nested-agg mapping."""
@@ -532,6 +547,14 @@ FROM m""",
         f"""WITH h AS ({_HOURLY_SQL}), r AS (SELECT *, round(v / c, 6) AS ratio FROM h)
 SELECT round(avg(c), 6) AS avg_bucket_count, max(c)::BIGINT AS max_bucket_count,
        round(avg(ratio), 6) AS avg_ratio FROM r""",
+    ),
+    "sessionize_events": (
+        q_sessionize,
+        """WITH base AS (SELECT * FROM ({inner}))
+SELECT user_id, session_id, n_events,
+       strftime(t_start, '%Y-%m-%d %H:%M:%S') AS t_start,
+       strftime(t_end, '%Y-%m-%d %H:%M:%S') AS t_end
+FROM base""".format(inner=__import__("go_mysql_elasticsearch_spark.streaming.sessionize", fromlist=["x"]).sessionize_oracle_sql(1800)),
     ),
     "pipeline_min_sum_bucket": (
         q_min_sum_bucket,
