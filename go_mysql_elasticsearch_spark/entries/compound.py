@@ -164,16 +164,18 @@ def q_common_terms(spark, sf_dir):
 
 def q_multi_match(spark, sf_dir):
     """multi_match best_fields over (text, url) with tie_breaker=0
-    (search_queries_multi_match.go): score = max of per-field BM25."""
-    from ..query.scoring import bm25_naive
+    (search_queries_multi_match.go): score = max of per-field BM25,
+    each field served from its OWN inverted index (registry.url_index_for
+    — ES's one-index-per-field model; the naive url-field corpus scan is
+    gone)."""
+    from ..query.wand import bm25_topk
+    from ..registry import url_index_for
 
     terms = ["spark", "site42"]
-    d = _docstore(spark, sf_dir)
     st = _scored(spark, sf_dir, terms).withColumnRenamed("score", "s_text")
-    su = (
-        bm25_naive(d.select("doc_id", F.col("url").alias("text")), terms, mode="or", k=None)
-        .withColumnRenamed("score", "s_url")
-    )
+    su = bm25_topk(
+        spark, url_index_for(spark, sf_dir), terms, mode="or", return_all=True
+    ).withColumnRenamed("score", "s_url")
     j = st.join(su, "doc_id", "full").select(
         "doc_id",
         F.coalesce("s_text", F.lit(0.0)).alias("s_text"),

@@ -31,6 +31,7 @@ IDX_CACHE_ROOT = os.environ.get("SPARK_GRAFT_IDX_CACHE", os.path.join(REPO_ROOT,
 INDEX_FORMAT_VERSION = "4"  # v4: positional payloads (pos_vb)
 
 _READERS: dict[str, IndexReader] = {}
+_URL_READERS: dict[str, IndexReader] = {}
 
 
 def index_for(spark: SparkSession, sf_dir: str, n_segments: int = 2, n_shards: int = 4) -> IndexReader:
@@ -54,6 +55,22 @@ def index_for(spark: SparkSession, sf_dir: str, n_segments: int = 2, n_shards: i
     build_index(spark, ingest, idx_dir, n_segments=n_segments, n_shards=n_shards)
     _READERS[key] = IndexReader(spark, idx_dir)
     return _READERS[key]
+
+
+def url_index_for(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> IndexReader:
+    """Per-FIELD index: the url column indexed as its own text field —
+    how multi_match serves secondary fields at scale (ES keeps one
+    inverted index per field; round 1 scored url with a full-corpus
+    naive scan instead). Same build pipeline, same cache contract."""
+    key = os.path.abspath(sf_dir)
+    if key in _URL_READERS:
+        return _URL_READERS[key]
+    tag = hashlib.sha1(f"{key}|url|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(IDX_CACHE_ROOT, f"url-{os.path.basename(key)}-{tag}")
+    docs = webpages(spark, sf_dir).select("doc_id", F.col("url").alias("text"))
+    build_index(spark, docs, idx_dir, n_segments=1, n_shards=n_shards)
+    _URL_READERS[key] = IndexReader(spark, idx_dir)
+    return _URL_READERS[key]
 
 
 # ---------------------------------------------------------------------------
