@@ -85,11 +85,14 @@ def _make_positional_scorer(
     k1: float,
     b: float,
     prefix_tids: frozenset[int] | None = None,
+    slop: int = 0,
 ):
     """Group scorer: verify the position chain ``chain_tids`` (tid of
     the phrase word at each offset) and, for phrase_prefix, require some
-    ``prefix_tids`` member adjacent after the chain. Survivors score
-    Σ idf·tfpart over ``score_tids``."""
+    ``prefix_tids`` member adjacent after the chain. ``slop`` allows up
+    to that many extra positions between EACH adjacent word pair
+    (ordered, per-gap slack — slop=0 is exact adjacency). Survivors
+    score Σ idf·tfpart over ``score_tids``."""
     from ..analyzer import BM25_B, BM25_K1
 
     k1 = BM25_K1 if k1 is None else k1
@@ -136,18 +139,27 @@ def _make_positional_scorer(
             return (np.repeat(ci, lens).astype(np.int64) << 32) | pos.astype(np.int64)
 
         m = len(chain_tids)
+        # s_keys tracks the LAST matched word's (cand, pos) keys; each
+        # step advances to the next word's positions reachable within
+        # 1..slop+1 — for slop=0 this is the exact-adjacency chain.
+        def step(s_keys: np.ndarray, next_keys: np.ndarray) -> np.ndarray:
+            hits = [
+                next_keys[np.isin(next_keys, s_keys + d)] for d in range(1, slop + 2)
+            ]
+            return np.unique(np.concatenate(hits)) if hits else next_keys[:0]
+
         s_keys = keyed_positions(data[chain_tids[0]])
         for j in range(1, m):
             if s_keys.size == 0:
                 return _EMPTY
-            s_keys = s_keys[np.isin(s_keys + j, keyed_positions(data[chain_tids[j]]))]
+            s_keys = step(s_keys, keyed_positions(data[chain_tids[j]]))
         if prefix_tids is not None:
             if s_keys.size == 0:
                 return _EMPTY
             exp_keys = np.concatenate(
                 [keyed_positions(data[t]) for t in prefix_tids if t in data]
             )
-            s_keys = s_keys[np.isin(s_keys + m, exp_keys)]
+            s_keys = step(s_keys, exp_keys)
         if s_keys.size == 0:
             return _EMPTY
         hit_idx = np.unique(s_keys >> 32)
@@ -172,6 +184,7 @@ def _positional_hits(
     chain_words: list[str],
     score_words: list[str],
     prefix_tids: list[int] | None = None,
+    slop: int = 0,
 ) -> DataFrame | None:
     """Shared engine: DataFrame(doc_id, raw) of docs matching the chain
     (+optional prefix continuation), scored over score_words. Returns
@@ -203,7 +216,7 @@ def _positional_hits(
         matched = matched.unionByName(reader.dead_sentinel_rows(), allowMissingColumns=True)
     scorer = _make_positional_scorer(
         chain_tids, score_tids, idfs, avgdl, dead_upto, k1, b,
-        frozenset(prefix_tids) if prefix_tids else None,
+        frozenset(prefix_tids) if prefix_tids else None, slop,
     )
     est_bytes = sum(dfs.get(t, 0) for t in all_tids) * reader.bytes_per_posting
     if not big_tombs and est_bytes <= DRIVER_PATH_MAX_BYTES:
@@ -216,14 +229,16 @@ def _positional_hits(
 
 
 def match_phrase(
-    spark: SparkSession, reader: IndexReader, phrase: str, k: int = 10
+    spark: SparkSession, reader: IndexReader, phrase: str, k: int = 10, slop: int = 0
 ) -> DataFrame:
     pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
     words = phrase_words(phrase, pattern)
     if not words:
         return spark.createDataFrame([], "doc_id long, score double")
-    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)))
+    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)), slop=slop)
     if hits is None:  # legacy index without positions: docstore verify
+        if slop:
+            raise NotImplementedError("slop requires a positional index")
         return _match_phrase_docstore(spark, reader, words, k, pattern)
     out = hits.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -328,6 +343,28 @@ phrase_docs AS (
 sc AS (
   SELECT doc_id, sum(s) AS raw, count(*) AS matched FROM persc GROUP BY doc_id
 )
+SELECT doc_id, round(raw, {ROUND_DIGITS}) AS score FROM sc
+WHERE matched = {len(uniq)} AND doc_id IN (SELECT doc_id FROM phrase_docs)
+ORDER BY round(raw, {ROUND_DIGITS}) DESC, doc_id ASC LIMIT {k}""".strip()
+
+
+def phrase_slop_oracle_sql(words: list[str], slop: int, k: int = 10) -> str:
+    """DuckDB twin of sloppy match_phrase: ordered chain with per-gap
+    slack (gap between adjacent words in [1, slop+1]), BM25 sum over
+    the unique words, all of which must be present."""
+    from .scoring import ROUND_DIGITS, bm25_ctes
+
+    uniq = list(dict.fromkeys(words))
+    m = len(words)
+    froms = ", ".join(f"unnest(range(1, len(t) + 1)) AS u{j}(i{j})" for j in range(m))
+    conds = [f"t[i{j}] = '{w}'" for j, w in enumerate(words)]
+    conds += [f"i{j} - i{j-1} BETWEEN 1 AND {slop + 1}" for j in range(1, m)]
+    return f"""WITH {bm25_ctes(uniq)},
+phrase_docs AS (
+  SELECT DISTINCT doc_id FROM toks, {froms}
+  WHERE {' AND '.join(conds)}
+),
+sc AS (SELECT doc_id, sum(s) AS raw, count(*) AS matched FROM persc GROUP BY doc_id)
 SELECT doc_id, round(raw, {ROUND_DIGITS}) AS score FROM sc
 WHERE matched = {len(uniq)} AND doc_id IN (SELECT doc_id FROM phrase_docs)
 ORDER BY round(raw, {ROUND_DIGITS}) DESC, doc_id ASC LIMIT {k}""".strip()

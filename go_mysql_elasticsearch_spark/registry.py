@@ -120,10 +120,14 @@ def build_queries() -> dict:
     # match query + entries with no recorded driver result yet
     # (all_entries puts its _PRIORITY block first) run before the
     # already-recorded round-1 fixtures.
+    def _slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return match_phrase(spark, index_for(spark, sf_dir), _PHRASE_FIXTURE, k=10, slop=2)
+
     q = {}
     t0, m0 = _MATCH_FIXTURES["bm25_match_or2"]
     q["bm25_match_or2"] = _match_query(t0, m0)
     q["bm25_phrase_prefix"] = _pp
+    q["bm25_phrase_slop"] = _slop
     for name, (fn, _sql) in all_entries().items():
         q[name] = fn
     for name, (terms, mode) in _MATCH_FIXTURES.items():
@@ -143,9 +147,10 @@ def build_oracles() -> dict[str, str]:
     o["bm25_match_phrase"] = bm25_oracle_sql(
         list(dict.fromkeys(pw)), mode="phrase", k=10, phrase=pw
     )
-    from .query.phrase import phrase_prefix_oracle_sql
+    from .query.phrase import phrase_prefix_oracle_sql, phrase_slop_oracle_sql
 
     o["bm25_phrase_prefix"] = phrase_prefix_oracle_sql(*_PHRASE_PREFIX_FIXTURE, k=10)
+    o["bm25_phrase_slop"] = phrase_slop_oracle_sql(pw, slop=2, k=10)
     for name, (_fn, sql) in all_entries().items():
         if sql is not None:
             o[name] = sql

@@ -131,3 +131,35 @@ def test_or_kernels_identical(spark, reader, monkeypatch):
         monkeypatch.setattr(W, "OR_KERNEL", "wand")
         wnd = [(r["doc_id"], r["score"]) for r in bm25_topk(spark, reader, q, k=10).collect()]
         assert vec == wnd, (q, vec, wnd)
+
+
+def test_phrase_slop_superset_of_exact(spark, reader):
+    """slop=2 hits contain every exact-phrase hit, plus planted sloppy
+    matches at the right gap."""
+    from go_mysql_elasticsearch_spark.index.build import build_segment
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader as IR
+
+    exact = {r["doc_id"] for r in match_phrase(spark, reader, "hash join", k=10**6).collect()}
+    sloppy = {r["doc_id"] for r in match_phrase(spark, reader, "hash join", k=10**6, slop=2).collect()}
+    assert exact <= sloppy
+
+
+def test_phrase_slop_planted_gaps(spark, tmp_path):
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader as IR
+
+    rows = [
+        (0, "alpha beta"),                  # gap 1 (adjacent)
+        (1, "alpha xx beta"),               # gap 2
+        (2, "alpha xx yy beta"),            # gap 3
+        (3, "alpha xx yy zz beta"),         # gap 4 — beyond slop 2
+        (4, "beta alpha"),                  # wrong order
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "slopidx")
+    build_index(spark, docs, idx, n_segments=1, n_shards=2)
+    r = IR(spark, idx)
+    got = lambda s: {x["doc_id"] for x in match_phrase(spark, r, "alpha beta", k=100, slop=s).collect()}
+    assert got(0) == {0}
+    assert got(1) == {0, 1}
+    assert got(2) == {0, 1, 2}
