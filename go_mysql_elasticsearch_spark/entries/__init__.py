@@ -29,6 +29,7 @@ _PRIORITY = [
     "dedup_simhash",
     "ann_cosine_brute",
     "ann_lsh",
+    "ann_ivf",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",

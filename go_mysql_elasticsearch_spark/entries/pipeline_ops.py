@@ -105,6 +105,24 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN over the twin-augmented embeddings: persisted
+    deterministic k-means cells, probe the 2 nearest, exact-cosine
+    re-rank. Rows-only (Lloyd iterations have no tractable DuckDB
+    twin); recall and plan shape are pytest-asserted
+    (tests/test_pipeline_ops.py::test_ivf_*)."""
+    import hashlib
+    import os
+
+    from ..pipeline import ivf as V
+    from ..registry import IDX_CACHE_ROOT
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(IDX_CACHE_ROOT, f"ivf8aug-{os.path.basename(sf_dir)}-{tag}")
+    cells, cents = V.build_ivf_index(spark, _emb_aug(spark, sf_dir), path, nlist=8, iters=2)
+    return V.ivf_ann_topk(_emb_aug(spark, sf_dir), cells, cents, 0, k=5, n_probe=2)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline, input
     bounded by max_id — the oracle shape the LSH path is checked
@@ -222,6 +240,7 @@ SELECT vec_id,
 FROM e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     ),
+    "ann_ivf": (q_ann_ivf, None),  # k-means has no tractable SQL twin; pytest-gated
     "ann_lsh": (
         q_ann_lsh,
         f"""WITH {_AUG_SQL},

@@ -164,3 +164,38 @@ def test_simhash_near_pairs_equals_brute(spark, docs):
         if bin(fps[a] ^ fps[b]).count("1") <= 3
     )
     assert got == brute
+
+
+def test_ivf_ann_finds_planted_twin(spark, emb, tmp_path):
+    """IVF: the planted twin lands in the query's own cell, so probing
+    1 cell already finds it; recall vs brute force on the twin is 1.
+    The candidate filter is a cell-id IN predicate — no full-table
+    distance pass, no cartesian."""
+    from go_mysql_elasticsearch_spark.pipeline import ivf as V
+
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    e2 = emb.unionByName(twin)
+    cells, cents = V.build_ivf_index(spark, e2, str(tmp_path / "ivf"), nlist=8, iters=2)
+    assert cells.count() == e2.count() and len(cents) == 8
+    res = V.ivf_ann_topk(e2, cells, cents, 0, k=5, n_probe=1)
+    p = _plan(res)
+    assert "CartesianProduct" not in p, p
+    top = res.collect()
+    assert top and top[0]["vec_id"] == 9000 and top[0]["cos"] >= 0.99
+
+    # idempotent rebuild: same cells, same centroids (resume contract)
+    cells2, cents2 = V.build_ivf_index(spark, e2, str(tmp_path / "ivf"), nlist=8, iters=2)
+    assert cents2 == cents and cells2.count() == cells.count()
+
+
+def test_ivf_nprobe_widens_candidates(spark, emb, tmp_path):
+    from go_mysql_elasticsearch_spark.pipeline import ivf as V
+
+    cells, cents = V.build_ivf_index(spark, emb, str(tmp_path / "ivf2"), nlist=8, iters=2)
+    brute = {r["vec_id"] for r in S.cosine_topk(emb, 0, k=5).collect()}
+    all_probe = {
+        r["vec_id"] for r in V.ivf_ann_topk(emb, cells, cents, 0, k=5, n_probe=8).collect()
+    }
+    assert all_probe == brute  # probing every cell == exact brute force
