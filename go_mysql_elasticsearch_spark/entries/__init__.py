@@ -52,6 +52,8 @@ _PRIORITY = [
     "sort_multi",
     "rowdoc_convert",
     "query_string",
+    "percolate",
+    "highlight",
     "min_score",
     "from_size",
     "not_query",

@@ -214,23 +214,21 @@ def q_highlight(spark, sf_dir):
 
 
 def q_percolate(spark, sf_dir):
-    """percolate (percolate.go:18): stored queries evaluated against one
-    new document — reverse search."""
-    from ..analyzer import tokens_col
+    """percolate (percolate.go:18): a BATCH of docs (ids 50-59) probed
+    against a stored-query table via the shuffle-on-term join operator
+    (query/percolate.py) — reverse search with no doc × query cross."""
+    from ..query.percolate import percolate
 
     stored = spark.createDataFrame(
         [(0, ["dup"], "or"), (1, ["data", "merge"], "and"), (2, ["zzznope"], "or")],
         "query_id int, terms array<string>, mode string",
     )
-    doc = (
+    docs = (
         _docstore(spark, sf_dir)
-        .where(F.col("doc_id") == 55)
-        .select(tokens_col("text").alias("t"))
+        .where((F.col("doc_id") >= 50) & (F.col("doc_id") < 60))
+        .select("doc_id", "text")
     )
-    j = stored.crossJoin(F.broadcast(doc))
-    matched_n = F.size(F.array_intersect(F.col("terms"), F.col("t")))
-    ok = F.when(F.col("mode") == "and", matched_n == F.size("terms")).otherwise(matched_n > 0)
-    return j.where(ok).select("query_id")
+    return percolate(docs, stored).orderBy("doc_id", "query_id")
 
 
 def q_explain(spark, sf_dir):
@@ -449,15 +447,17 @@ SELECT doc_id, score, array_to_string(frags, ' ... ') AS highlight FROM fr""",
     "percolate": (
         q_percolate,
         """WITH doct AS (
-  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents WHERE doc_id = 55
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id >= 50 AND doc_id < 60
 ),
 stored(query_id, terms, mode) AS (
   VALUES (0, ['dup'], 'or'), (1, ['data', 'merge'], 'and'), (2, ['zzznope'], 'or')
 )
-SELECT query_id FROM stored, doct
+SELECT doc_id, query_id FROM stored, doct
 WHERE CASE WHEN mode = 'and'
            THEN len(list_intersect(terms, t)) = len(terms)
-           ELSE len(list_intersect(terms, t)) > 0 END""",
+           ELSE len(list_intersect(terms, t)) > 0 END
+ORDER BY doc_id, query_id""",
     ),
     "explain": (
         q_explain,

@@ -156,3 +156,41 @@ def stream_changes_into_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def should_compact(
+    reader: IndexReader,
+    max_segments: int = 8,
+    max_tombstone_frac: float = 0.2,
+) -> tuple[bool, str]:
+    """Compaction policy — the bulk micro-batcher's threshold idea (K1:
+    river/bulker.go:43-101 flushes on action/byte counts) applied to
+    segment maintenance: compact when the segment count or the
+    tombstoned fraction crosses its threshold. Uses only manifest
+    counters + the cached tombstone count — no data scan. Returns
+    (decision, reason)."""
+    n_seg = len(reader.manifests)
+    if n_seg > max_segments:
+        return True, f"{n_seg} segments > {max_segments}"
+    n_docs = reader.n_docs
+    tombs = reader.tombstones_count()
+    if n_docs and tombs / n_docs > max_tombstone_frac:
+        return True, f"tombstones {tombs}/{n_docs} > {max_tombstone_frac:.0%}"
+    return False, f"{n_seg} segments, {tombs}/{n_docs} tombstoned"
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    n_segments: int = 1,
+    n_shards: int = 8,
+    max_segments: int = 8,
+    max_tombstone_frac: float = 0.2,
+) -> list[dict] | None:
+    """Policy-gated compact(): callers invoke after each apply_changes
+    batch; the rebuild runs only when should_compact fires."""
+    reader = IndexReader(spark, index_dir)
+    go, _reason = should_compact(reader, max_segments, max_tombstone_frac)
+    if not go:
+        return None
+    return compact(spark, index_dir, n_segments=n_segments, n_shards=n_shards)

@@ -199,3 +199,39 @@ def test_phrase_respects_tombstones(spark, idx, monkeypatch):
     monkeypatch.setattr(IndexReader, "TOMBSTONE_DICT_MAX", 0)
     after2 = {h["doc_id"] for h in match_phrase(spark, IndexReader(spark, idx), "hash join", k=10**6).collect()}
     assert after2 == after
+
+
+def test_compaction_policy(spark, idx):
+    """maybe_compact is a no-op under thresholds, fires past them, and
+    the compacted index loses its tombstones and extra segments."""
+    from go_mysql_elasticsearch_spark.streaming.incremental import (
+        maybe_compact,
+        should_compact,
+    )
+
+    # grow: 3 insert batches → 4 segments; delete some docs → tombstones
+    for i in range(3):
+        apply_changes(
+            spark, idx,
+            _mkdocs(spark, [(70000 + i, f"u{i}", "en", f"growterm{i} content")])
+            .withColumn("action", F.lit("insert")),
+            n_shards=2,
+        )
+    apply_changes(
+        spark, idx, _mkdocs(spark, [(1, "u1", "en", "x")]).withColumn("action", F.lit("delete")),
+        n_shards=2,
+    )
+    r = IndexReader(spark, idx)
+    assert len(r.manifests) == 4
+    go, reason = should_compact(r, max_segments=8, max_tombstone_frac=0.5)
+    assert not go, reason
+    assert maybe_compact(spark, idx, max_segments=8, max_tombstone_frac=0.5) is None
+
+    go, reason = should_compact(r, max_segments=3)
+    assert go and "segments" in reason
+    manifests = maybe_compact(spark, idx, n_segments=1, n_shards=2, max_segments=3)
+    assert manifests is not None
+    r2 = IndexReader(spark, idx)
+    assert len(r2.manifests) == 1 and r2.tombstones() is None
+    assert [d for d, _ in _hits(spark, idx, ["growterm1"])] == [70001]
+    assert 1 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
