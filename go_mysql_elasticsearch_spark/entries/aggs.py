@@ -121,17 +121,21 @@ def q_significant_terms(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", "lang", F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
-    bg_n = d.count()
-    fg_n_row = d.where(F.col("lang") == "de").count()
+    # fg/bg corpus sizes ride the plan as a 1-row broadcast — one job,
+    # no driver-side .count() round-trips
+    sizes = d.agg(
+        F.count(F.lit(1)).cast("double").alias("bg_n"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).cast("double").alias("fg_n"),
+    )
     bg = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("bg_df"))
     fg = (
         toks.where(F.col("lang") == "de")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("fg_df"))
     )
-    out = fg.join(bg, "term").select(
+    out = fg.join(bg, "term").crossJoin(F.broadcast(sizes)).select(
         "term",
-        F.round((F.col("fg_df") / F.lit(float(fg_n_row))) / (F.col("bg_df") / F.lit(float(bg_n))), 6).alias("score"),
+        F.round((F.col("fg_df") / F.col("fg_n")) / (F.col("bg_df") / F.col("bg_n")), 6).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("term")).limit(5)
 
