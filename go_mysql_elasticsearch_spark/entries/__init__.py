@@ -53,6 +53,8 @@ _PRIORITY = [
     "rowdoc_convert",
     "query_string",
     "percolate",
+    "rescore",
+    "collapse",
     "highlight",
     "min_score",
     "from_size",

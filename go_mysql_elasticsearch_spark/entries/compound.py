@@ -231,6 +231,39 @@ def q_percolate(spark, sf_dir):
     return percolate(docs, stored).orderBy("doc_id", "query_id")
 
 
+def q_rescore(spark, sf_dir):
+    """rescore (search `rescore` window, rescore.go): take the top-20
+    window of match(data), re-rank it by query_weight·orig +
+    rescore_query_weight·match(merge) — the expensive secondary scorer
+    touches only the window, never the corpus."""
+    r = index_for(spark, sf_dir)
+    window = bm25_topk(spark, r, ["data"], k=20).withColumnRenamed("score", "orig")
+    sec = _scored(spark, sf_dir, ["merge"]).withColumnRenamed("score", "sec")
+    out = window.join(sec, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("orig") + 0.7 * F.coalesce("sec", F.lit(0.0)), ROUND_DIGITS).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_collapse(spark, sf_dir):
+    """field collapsing (search_source.go collapse): one best hit per
+    lang for match(data) — dedupe-by-key over the scored frame via a
+    window row_number, exactly Spark's top-1-per-group idiom."""
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, ["data"])
+    d = _docstore(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        s.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "doc_id", "score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def q_explain(spark, sf_dir):
     """explain (explain.go): per-term BM25 score components for
     query 'data merge' on doc 446."""
@@ -365,6 +398,34 @@ u AS (SELECT * FROM b UNION ALL SELECT * FROM ph),
 agg AS (SELECT doc_id, max(score) AS best, sum(score) AS total FROM u GROUP BY doc_id)
 SELECT doc_id, round(best + 0.2 * (total - best), {_R}) AS score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    ),
+    "rescore": (
+        q_rescore,
+        f"""WITH {bm25_ctes(['data', 'merge'])}
+, w AS (
+  SELECT doc_id, round(sum(s) FILTER (WHERE term = 'data'), {_R}) AS orig
+  FROM persc GROUP BY doc_id
+  HAVING sum(s) FILTER (WHERE term = 'data') IS NOT NULL
+  ORDER BY orig DESC, doc_id ASC LIMIT 20
+),
+sec AS (
+  SELECT doc_id, round(sum(s) FILTER (WHERE term = 'merge'), {_R}) AS sec
+  FROM persc GROUP BY doc_id
+)
+SELECT w.doc_id, round(w.orig + 0.7 * coalesce(sec.sec, 0), {_R}) AS score
+FROM w LEFT JOIN sec ON sec.doc_id = w.doc_id
+ORDER BY score DESC, w.doc_id ASC LIMIT 10""",
+    ),
+    "collapse": (
+        q_collapse,
+        f"""WITH {bm25_ctes(['data'])}
+, sc AS (SELECT doc_id, round(sum(s), {_R}) AS score FROM persc GROUP BY doc_id),
+j AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+SELECT lang, doc_id, score FROM j WHERE rn = 1 ORDER BY score DESC, doc_id ASC""",
     ),
     "match_all": (q_match_all, "SELECT doc_id, 1.0::DOUBLE AS score FROM documents"),
     "more_like_this": (
