@@ -29,7 +29,6 @@ _PRIORITY = [
     "dedup_simhash",
     "ann_cosine_brute",
     "ann_lsh",
-    "ann_ivf",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",
@@ -37,7 +36,6 @@ _PRIORITY = [
     "text_quality",
     "text_token_counts",
     "text_fingerprint",
-    "binary_metadata",
     "function_score_fvf",
     "function_score_weight",
     "bool_dis_max_nested",
