@@ -10,56 +10,15 @@ non-SQL-expressible ops).
 from __future__ import annotations
 
 
-# Entries the round-1 driver gate did NOT record (its budget cut off after
+# Entries the driver gate has NOT yet recorded (its budget cuts off after
 # the first 50 registry keys). They run FIRST so every operator gets hard
-# driver-side credit at least once; newly added round-2 entries also go
-# here until a CORRECTNESS_r{N}.json shows them green.
+# driver-side credit at least once. Round-3 rotation: everything in the
+# r1/r2 blocks is green in CORRECTNESS_r01/r02.json, so the head is now
+# the two never-recorded rows-only entries (VERDICT r2 "What's missing"
+# #1) plus every entry new this round.
 _PRIORITY = [
-    "agg_percentiles",
-    "agg_top_hits",
-    "pipeline_derivative",
-    "pipeline_cumulative_sum",
-    "pipeline_moving_avg",
-    "pipeline_serial_diff",
-    "pipeline_bucket_selector",
-    "pipeline_bucket_script",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "sim_pairs_exact",
-    "dedup_simhash",
-    "ann_cosine_brute",
-    "ann_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_simhash_pairs",
-    "text_lang_id",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "function_score_fvf",
-    "function_score_weight",
-    "bool_dis_max_nested",
-    "agg_percentile_ranks",
-    "index_stats",
-    "pipeline_min_sum_bucket",
-    "sessionize_events",
-    "missing_lang",
-    "sort_script",
-    "indices_routing",
-    "suggest_completion",
-    "sort_multi",
-    "rowdoc_convert",
-    "query_string",
-    "percolate",
-    "rescore",
-    "collapse",
-    "highlight",
-    "min_score",
-    "from_size",
-    "not_query",
-    "has_child",
-    "has_parent",
-    "nested_query",
+    "ann_ivf",
+    "binary_metadata",
 ]
 
 

@@ -118,7 +118,7 @@ def q_ann_ivf(spark, sf_dir):
     from ..registry import IDX_CACHE_ROOT
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(IDX_CACHE_ROOT, f"ivf8aug-{os.path.basename(sf_dir)}-{tag}")
+    path = os.path.join(IDX_CACHE_ROOT, f"ivf8r3-{os.path.basename(sf_dir)}-{tag}")
     cells, cents = V.build_ivf_index(spark, _emb_aug(spark, sf_dir), path, nlist=8, iters=2)
     return V.ivf_ann_topk(_emb_aug(spark, sf_dir), cells, cents, 0, k=5, n_probe=2)
 

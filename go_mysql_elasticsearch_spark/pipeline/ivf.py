@@ -11,13 +11,19 @@ Determinism (no RNG state, reproducible across runs/engines): initial
 centroids are the vectors of the ``nlist`` vec_ids with the smallest
 md5(vec_id) — content-independent, seedless — followed by a fixed
 number of Lloyd iterations; ties in assignment break toward the lower
-cell id. Centroids are tiny (nlist × dim floats) and ride the plan as
-literals — broadcast by construction, never a shuffle.
+cell id (numpy argmin takes the first minimum).
+
+Centroids travel as a numpy array inside a ``mapInPandas`` closure
+(task-broadcast with the serialized function), NOT as plan literals:
+at real nlist (4k-65k) an ``F.when``-chain argmin is a megabyte-scale
+Catalyst plan with O(nlist²) analysis cost, while the closure form is
+one Arrow-batched matmul per batch regardless of nlist. The only
+per-plan literal left is the single query vector (dim floats).
 
 At 10^9+ vectors: assignment is one narrow pass per Lloyd iteration
-(argmin over nlist literal centroids, whole-stage codegen), the cell
-table is one groupBy(cell) avg, and queries touch n_probe/nlist of the
-corpus. Recall/latency trades via (nlist, n_probe) exactly as in
+(vectorized ``d² = |v|² - 2 v·Cᵀ + |C|²`` argmin per Arrow batch), the
+cell table is one groupBy(cell) avg, and queries touch n_probe/nlist of
+the corpus. Recall/latency trades via (nlist, n_probe) exactly as in
 FAISS-style IVF-Flat.
 """
 
@@ -26,26 +32,41 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .similarity import _dot, _norm
 
 
-def _dist2(v_col, centroid: list[float]) -> F.Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    diff = F.zip_with(v_col, c, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+def _assign_fn(centroids: np.ndarray, carry_v: bool):
+    """mapInPandas kernel: vectorized argmin over the closure centroid
+    matrix. Ties break toward the lower cell id (argmin = first min)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)  # (nlist, dim)
+    c_sq = (cents * cents).sum(axis=1)  # (nlist,)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (n, dim)
+            d2 = (v * v).sum(axis=1, keepdims=True) - 2.0 * (v @ cents.T) + c_sq
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "cell": d2.argmin(axis=1).astype("int32")})
+            if carry_v:
+                out["v"] = pdf["v"].to_numpy()
+            yield out
+
+    return fn
 
 
-def _assign_col(v_col, centroids: list[list[float]]) -> F.Column:
-    """argmin over the centroid literals; ties → lower cell id."""
-    dists = [_dist2(v_col, c) for c in centroids]
-    best = F.least(*dists)
-    out = F.lit(len(centroids) - 1)
-    for j in range(len(centroids) - 2, -1, -1):
-        out = F.when(dists[j] == best, F.lit(j)).otherwise(out)
-    return out.cast("int")
+def assign_cells(e: DataFrame, centroids: list[list[float]], carry_v: bool = False) -> DataFrame:
+    """(vec_id, v) → (vec_id, cell[, v]) via one Arrow-batched pass."""
+    schema = "vec_id long, cell int" + (", v array<double>" if carry_v else "")
+    return e.select("vec_id", "v").mapInPandas(
+        _assign_fn(np.asarray(centroids, dtype=np.float64), carry_v), schema=schema
+    )
 
 
 def kmeans_deterministic(
@@ -53,7 +74,9 @@ def kmeans_deterministic(
 ) -> list[list[float]]:
     """Seedless Lloyd's: init = vectors of the nlist smallest-md5(vec_id)
     rows, then ``iters`` assignment/mean rounds. Each round is ONE
-    narrow Spark pass; only nlist × dim floats ever reach the driver."""
+    narrow Spark pass; only nlist × dim floats ever reach the driver.
+    nlist is clamped to the corpus size (a tiny table can't seed more
+    cells than it has vectors)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     seed_rows = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -61,10 +84,11 @@ def kmeans_deterministic(
         .limit(nlist)
         .collect()
     )
-    centroids = [list(r["v"]) for r in seed_rows]
+    nlist = min(nlist, len(seed_rows))
+    centroids = [list(r["v"]) for r in seed_rows[:nlist]]
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = e.select(_assign_col(F.col("v"), centroids).alias("cell"), "v")
+        assigned = assign_cells(e, centroids, carry_v=True)
         means = (
             assigned.groupBy("cell")
             .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)])
@@ -79,16 +103,20 @@ def build_ivf_index(
     spark: SparkSession, emb: DataFrame, path: str, nlist: int = 8, iters: int = 3
 ) -> tuple[DataFrame, list[list[float]]]:
     """Persist (vec_id, cell) + centroids beside the corpus; idempotent
-    (same resume contract as the postings manifests)."""
+    (same resume contract as the postings manifests). The rebuild gate
+    requires BOTH the parquet _SUCCESS and the centroid sidecar, so a
+    crash between the parquet commit and the sidecar write leaves a dir
+    that rebuilds on the next call instead of raising forever."""
     cfile = os.path.join(path, "_centroids.json")  # "_" prefix: parquet readers skip it
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cfile)):
         centroids = kmeans_deterministic(emb, nlist, iters)
         e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        e.select("vec_id", _assign_col(F.col("v"), centroids).alias("cell")).write.mode(
-            "overwrite"
-        ).parquet(path)
-        with open(cfile, "w") as f:
+        # overwrite wipes the dir, so the sidecar must come after
+        assign_cells(e, centroids).write.mode("overwrite").parquet(path)
+        tmp = cfile + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(centroids, f)
+        os.replace(tmp, cfile)
     with open(cfile) as f:
         centroids = json.load(f)
     return spark.read.parquet(path), centroids
@@ -105,9 +133,8 @@ def ivf_ann_topk(
     """ANN: probe the query's ``n_probe`` nearest cells (centroid
     distances computed driver-side — nlist floats), candidates =
     cell-id IN filter on the persisted assignment, exact cosine
-    re-rank. Never touches the other nlist - n_probe cells."""
-    import numpy as np
-
+    re-rank. Never touches the other nlist - n_probe cells. The only
+    plan literal is the query vector itself (dim floats)."""
     spark = emb.sparkSession
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     q = e.where(F.col("vec_id") == query_vec_id).first()

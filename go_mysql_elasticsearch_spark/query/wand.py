@@ -388,5 +388,10 @@ def bm25_topk(
 
     local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
-    out = out.orderBy(F.desc("score"), F.asc("doc_id"))
-    return out if return_all else out.limit(k)
+    if return_all:
+        # No global sort: compound-query composition (query/ast.py)
+        # re-ranks after joins/unions, so a range-partition shuffle here
+        # would be pure waste — at scale each AST leaf would pay a
+        # corpus-wide sorted shuffle whose order the next join destroys.
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -199,3 +199,49 @@ def test_ivf_nprobe_widens_candidates(spark, emb, tmp_path):
         r["vec_id"] for r in V.ivf_ann_topk(emb, cells, cents, 0, k=5, n_probe=8).collect()
     }
     assert all_probe == brute  # probing every cell == exact brute force
+
+
+def test_ivf_assignment_plan_is_literal_free_and_scales_to_nlist_256(spark, emb, tmp_path):
+    """VERDICT r2 #2: centroids must NOT ride the plan as nlist-deep
+    CASE/array literals — at real nlist (4k+) that is a megabyte plan
+    with O(nlist²) analysis. Assignment is a mapInPandas closure: the
+    plan contains one Python-map node and zero CASE WHEN chains, and
+    nlist=256 builds in bounded time (plan size is nlist-independent)."""
+    import time
+
+    from go_mysql_elasticsearch_spark.pipeline import ivf as V
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [[float(i)] * len(emb.first()["embedding"]) for i in range(256)]
+    assigned = V.assign_cells(e, cents)
+    p = _plan(assigned)
+    assert "CASE WHEN" not in p, p[:2000]
+    assert "MapInPandas" in p or "mapInPandas" in p.lower(), p[:2000]
+
+    t0 = time.monotonic()
+    cells, got_cents = V.build_ivf_index(spark, emb, str(tmp_path / "ivf256"), nlist=256, iters=2)
+    assert cells.count() == emb.count()
+    assert time.monotonic() - t0 < 120
+
+
+def test_ivf_nlist_clamped_to_corpus_size(spark, emb, tmp_path):
+    """Fewer vectors than nlist must clamp, not IndexError (ADVICE r2)."""
+    from go_mysql_elasticsearch_spark.pipeline import ivf as V
+
+    tiny = emb.where(F.col("vec_id") < 5)  # 5 vectors, nlist=8
+    cells, cents = V.build_ivf_index(spark, tiny, str(tmp_path / "ivftiny"), nlist=8, iters=2)
+    assert len(cents) <= 5 and cells.count() == tiny.count()
+
+
+def test_ivf_rebuild_recovers_from_missing_centroid_sidecar(spark, emb, tmp_path):
+    """ADVICE r2: a crash that leaves parquet+_SUCCESS but no
+    _centroids.json must trigger a rebuild, not FileNotFoundError."""
+    import os
+
+    from go_mysql_elasticsearch_spark.pipeline import ivf as V
+
+    path = str(tmp_path / "ivfcrash")
+    V.build_ivf_index(spark, emb, path, nlist=8, iters=1)
+    os.remove(os.path.join(path, "_centroids.json"))
+    cells, cents = V.build_ivf_index(spark, emb, path, nlist=8, iters=1)
+    assert len(cents) == 8 and cells.count() == emb.count()

@@ -135,3 +135,21 @@ def test_query_string_reads_only_postings(spark, reader, monkeypatch):
     df = query_string_topk(spark, reader, '+data -scan "hash join" merge', k=10)
     s = formatted(df)
     assert "postings.parquet" in s and "docs.parquet" not in s, s
+
+
+def test_bool_compound_has_no_global_sort_below_takeordered(spark, reader, monkeypatch):
+    """VERDICT r2 #1: with return_all=True every AST leaf used to pay a
+    corpus-wide range-partition sort that the downstream join destroyed.
+    The only ordered operator in a compiled Bool(must=[Match, Match])
+    must be the final TakeOrdered; SortMergeJoin's local sorts
+    (global=false) are fine, global sorts (``], true``) are not."""
+    from go_mysql_elasticsearch_spark.query import ast as A
+    from go_mysql_elasticsearch_spark.query import wand
+
+    monkeypatch.setattr(wand, "DRIVER_PATH_MAX_BYTES", 0)  # force distributed path
+    q = A.Bool(must=(A.Match(("data",)), A.Match(("merge",))))
+    df = A.topk(spark, reader, q, k=10)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p, p
+    globals_sorts = re.findall(r"Sort \[[^\]]*\], true", p)
+    assert not globals_sorts, (globals_sorts, p)
