@@ -102,6 +102,25 @@ def segment_dir(index_dir: str, segment_id: int | str) -> str:
     return os.path.join(index_dir, "segments", f"seg={segment_id}")
 
 
+GEN_POINTER = "index.gen"
+
+
+def gen_root(index_dir: str) -> str:
+    """Current generation root. ``index.gen`` names the live generation
+    subdir — compact() builds the next generation to the side and flips
+    this pointer atomically (the reference's create-new-index-then-swap
+    -alias pattern, river/river.go:111-128), so a reader NEVER sees a
+    half-swapped index: either pointer flips (new complete generation)
+    or it doesn't (old generation untouched, tombstones included).
+    Absent pointer → the index lives at index_dir itself (the layout
+    every fresh build produces)."""
+    p = os.path.join(index_dir, GEN_POINTER)
+    if os.path.exists(p):
+        with open(p) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return index_dir
+
+
 def _make_stream_packer(block_size: int):
     """Streaming per-partition packer for mapInPandas over TOKEN-level
     input sorted by (tid, shard, doc_id, pos).

@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
+        from .build import gen_root
+
         self.spark = spark
         self.index_dir = index_dir
+        # all index artifacts live under the current GENERATION root
+        # (compact() swaps generations by atomic pointer flip)
+        self.root = gen_root(index_dir)
         self._dict_df: DataFrame | None = None
         self._df_cache: dict[int, int] = {}  # tid → df (driver-side LRU-ish)
         self._tomb_cache: dict[int, int] | None = None
@@ -35,7 +40,7 @@ class IndexReader:
 
             self.settings = dict(DEFAULT_SETTINGS)
         self.manifests: list[dict] = []
-        for mp in sorted(glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json"))):
+        for mp in sorted(glob.glob(os.path.join(self.root, "segments", "seg=*", "manifest.json"))):
             with open(mp) as f:
                 self.manifests.append(json.load(f))
         if not self.manifests:
@@ -64,7 +69,7 @@ class IndexReader:
 
     def _seg_paths(self, name: str) -> list[tuple[str, str]]:
         return [
-            (m["segment_id"], os.path.join(self.index_dir, "segments", f"seg={m['segment_id']}", name))
+            (m["segment_id"], os.path.join(self.root, "segments", f"seg={m['segment_id']}", name))
             for m in self.manifests
         ]
 
@@ -211,7 +216,7 @@ class IndexReader:
 
         from ..analyzer import tokens_col
 
-        p = _os.path.join(self.index_dir, "term_strings.parquet")
+        p = _os.path.join(self.root, "term_strings.parquet")
         if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
             terms = (
                 self.docstore()
@@ -299,7 +304,7 @@ class IndexReader:
         """(doc_id, upto_seg): the doc's postings in segments ≤ upto_seg
         are dead. Segment-scoped so an upsert's re-added doc (in a NEWER
         segment) stays live."""
-        p = os.path.join(self.index_dir, "tombstones.parquet")
+        p = os.path.join(self.root, "tombstones.parquet")
         if glob.glob(os.path.join(p, "*.parquet")):
             return self.spark.read.parquet(p).groupBy("doc_id").agg(
                 F.max("upto_seg").alias("upto_seg")

@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import build_segment
+from ..index.build import GEN_POINTER, build_segment, gen_root
 from ..index.reader import IndexReader
 
 DOC_COLS = ["doc_id", "url", "warc_ts", "lang", "text"]
@@ -43,7 +43,7 @@ def _next_segment_id(index_dir: str) -> int:
     import json
 
     ids = []
-    for mp in glob.glob(os.path.join(index_dir, "segments", "seg=*", "manifest.json")):
+    for mp in glob.glob(os.path.join(gen_root(index_dir), "segments", "seg=*", "manifest.json")):
         with open(mp) as f:
             ids.append(int(json.load(f)["segment_id"]))
     return (max(ids) + 1) if ids else 0
@@ -65,42 +65,74 @@ def apply_changes(
         dead = changes.where(F.col("action").isin("update", "delete")).select(
             "doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg")
         )
-        if dead.limit(1).count() > 0:
-            dead.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
+        if not dead.isEmpty():
+            dead.write.mode("append").parquet(os.path.join(gen_root(index_dir), "tombstones.parquet"))
         # 2. new segment from inserted/updated docs
         docs = changes.where(F.col("action").isin("insert", "update")).select(
             *[c for c in DOC_COLS if c in changes.columns]
         )
-        if docs.limit(1).count() == 0:
+        if docs.isEmpty():
             return None
-        return build_segment(spark, docs, index_dir, segment_id=new_seg, n_shards=n_shards)
+        return build_segment(spark, docs, gen_root(index_dir), segment_id=new_seg, n_shards=n_shards)
     finally:
         changes.unpersist()
 
 
-def compact(spark: SparkSession, index_dir: str, n_segments: int = 1, n_shards: int = 8) -> list[dict]:
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    n_segments: int = 1,
+    n_shards: int = 8,
+    _fail_point: str | None = None,
+) -> list[dict]:
     """Merge-to-exact: rebuild the index from live docs only, drop
     tombstones. (K1's byte-threshold bulker becomes segment-count /
-    bytes policy at real scale — callers decide when to compact.)"""
+    bytes policy at real scale — callers decide when to compact.)
+
+    ATOMIC generation swap (reference create-new-index-then-alias,
+    river/river.go:111-128): the compacted index is built as a sibling
+    generation dir, then ``index.gen`` flips to it in one os.replace.
+    A kill at ANY point leaves a reader-complete index: before the flip
+    the old generation (segments + its tombstones) is untouched; after
+    the flip the new generation is already fully written. The only
+    leftover from a crash is garbage dirs GC'd by the next compact.
+
+    ``_fail_point`` is a test-only crash injector ("after_gen_dir",
+    "after_pointer")."""
     import shutil
 
     from ..index.build import build_index
 
     reader = IndexReader(spark, index_dir)
+    old_root = reader.root
+    cur_gen = None if old_root == index_dir else os.path.basename(old_root)
+    new_n = (int(cur_gen.split("-")[1]) + 1) if cur_gen else 1
+    new_gen = f"gen-{new_n:06d}"
+
     live = reader.docstore().drop("segment", "dl").cache()
     live.count()
-    tmp = index_dir + ".compact"
+    # build the next generation OFF to the side, never over live dirs
+    tmp = os.path.join(index_dir, f".building-{new_gen}")
     shutil.rmtree(tmp, ignore_errors=True)
     manifests = build_index(spark, live, tmp, n_segments=n_segments, n_shards=n_shards)
     live.unpersist()
-    # atomic-ish swap: replace segments + drop tombstones
-    shutil.rmtree(os.path.join(index_dir, "segments"))
-    os.replace(os.path.join(tmp, "segments"), os.path.join(index_dir, "segments"))
-    tomb = os.path.join(index_dir, "tombstones.parquet")
-    shutil.rmtree(tomb, ignore_errors=True)
-    ts = os.path.join(index_dir, "term_strings.parquet")
-    shutil.rmtree(ts, ignore_errors=True)  # derived cache, now stale
-    shutil.rmtree(tmp, ignore_errors=True)
+    gen_dir = os.path.join(index_dir, new_gen)
+    shutil.rmtree(gen_dir, ignore_errors=True)  # stale from a prior crash
+    os.replace(tmp, gen_dir)  # complete generation appears atomically
+    if _fail_point == "after_gen_dir":
+        raise RuntimeError("injected crash: generation built, pointer not flipped")
+    ptr = os.path.join(index_dir, GEN_POINTER)
+    with open(ptr + ".tmp", "w") as f:
+        f.write(new_gen)
+    os.replace(ptr + ".tmp", ptr)  # THE swap — one atomic rename
+    if _fail_point == "after_pointer":
+        raise RuntimeError("injected crash: pointer flipped, old gen not GC'd")
+    # GC the previous generation (failure here only leaks disk)
+    if cur_gen:
+        shutil.rmtree(old_root, ignore_errors=True)
+    else:
+        for sub in ("segments", "tombstones.parquet", "term_strings.parquet"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     return manifests
 
 
@@ -128,7 +160,7 @@ def delete_by_query(
     try:
         n = dead.count()
         if n:
-            dead.write.mode("append").parquet(os.path.join(index_dir, "tombstones.parquet"))
+            dead.write.mode("append").parquet(os.path.join(gen_root(index_dir), "tombstones.parquet"))
         return n
     finally:
         dead.unpersist()

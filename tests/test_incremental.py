@@ -235,3 +235,67 @@ def test_compaction_policy(spark, idx):
     assert len(r2.manifests) == 1 and r2.tombstones() is None
     assert [d for d, _ in _hits(spark, idx, ["growterm1"])] == [70001]
     assert 1 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+
+
+def test_kill_during_compact_never_loses_the_index(spark, idx):
+    """VERDICT r2 #3/#6: the old compact() did rmtree(segments) then
+    os.replace — a kill in between left NO index. The generation-pointer
+    swap must leave a reader-complete index at every crash point:
+
+    - crash AFTER the new generation dir lands but BEFORE the pointer
+      flips → reader opens the OLD generation, tombstones intact;
+    - crash AFTER the pointer flips but BEFORE old-gen GC → reader
+      opens the NEW compacted generation;
+    - a rerun after either crash completes normally."""
+    apply_changes(
+        spark, idx,
+        _mkdocs(spark, [(7, "u7", "en", "x")]).withColumn("action", F.lit("delete")),
+        n_shards=2,
+    )
+    r0 = IndexReader(spark, idx)
+    live_before = r0.docstore().count()
+    assert r0.tombstones_count() == 1
+
+    # crash point A: generation built, pointer NOT flipped
+    with pytest.raises(RuntimeError, match="pointer not flipped"):
+        compact(spark, idx, n_segments=1, n_shards=2, _fail_point="after_gen_dir")
+    rA = IndexReader(spark, idx)
+    assert rA.root == idx  # still the old generation
+    assert rA.tombstones_count() == 1  # delete NOT resurrected
+    assert rA.docstore().count() == live_before
+    assert 7 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+
+    # crash point B: pointer flipped, old generation not GC'd
+    with pytest.raises(RuntimeError, match="not GC'd"):
+        compact(spark, idx, n_segments=1, n_shards=2, _fail_point="after_pointer")
+    rB = IndexReader(spark, idx)
+    assert rB.root != idx and rB.root.startswith(idx)
+    assert rB.tombstones_count() == 0  # compacted away
+    assert rB.docstore().count() == live_before
+    assert 7 not in {d for d, _ in _hits(spark, idx, ["the"], k=10**6)}
+
+    # full rerun GC's and produces the next generation
+    compact(spark, idx, n_segments=1, n_shards=2)
+    rC = IndexReader(spark, idx)
+    import os
+
+    # crash A's orphan gen dir was treated as stale and rebuilt in
+    # place, so the counter advanced twice (B flip + rerun), not thrice
+    assert os.path.basename(rC.root) == "gen-000002"
+    assert not os.path.exists(rB.root)  # previous generation GC'd
+    assert rC.docstore().count() == live_before
+
+
+def test_incremental_changes_after_compact_land_in_new_generation(spark, idx):
+    """apply_changes / delete_by_query after a generation swap must
+    write to the LIVE generation root, not the legacy layout."""
+    compact(spark, idx, n_segments=1, n_shards=2)
+    ch = _mkdocs(spark, [(91001, "u", "en", "postswapterm lives here")])
+    apply_changes(spark, idx, ch.withColumn("action", F.lit("insert")), n_shards=2)
+    assert [d for d, _ in _hits(spark, idx, ["postswapterm"])] == [91001]
+
+    from go_mysql_elasticsearch_spark.streaming.incremental import delete_by_query
+
+    n = delete_by_query(spark, idx, ["postswapterm"])
+    assert n == 1
+    assert _hits(spark, idx, ["postswapterm"]) == []
