@@ -19,14 +19,23 @@ from __future__ import annotations
 _PRIORITY = [
     "ann_ivf",
     "binary_metadata",
+    # new in round 3
+    "function_score_random",
+    "sort_mode",
+    "simple_query_string",
+    "geo_bounding_box",
+    "geo_distance",
+    "geo_polygon",
+    # changed semantics in round 3 (token-boundary tagging) → re-record
+    "highlight",
 ]
 
 
 def all_entries() -> dict:
-    from . import aggs, compound, pipeline_ops, relations, rowdoc, structured
+    from . import aggs, compound, geo, pipeline_ops, relations, rowdoc, structured
 
     merged: dict = {}
-    for mod in (structured, compound, aggs, pipeline_ops, rowdoc, relations):
+    for mod in (structured, compound, aggs, pipeline_ops, rowdoc, relations, geo):
         overlap = set(merged) & set(mod.ENTRIES)
         if overlap:
             raise ValueError(f"duplicate entry names: {overlap}")

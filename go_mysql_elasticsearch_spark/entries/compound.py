@@ -110,6 +110,21 @@ def q_function_score_weight(spark, sf_dir):
     return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
+def q_function_score_random(spark, sf_dir):
+    """function_score random_score with a fixed seed, boost_mode=sum
+    (fsq_score_funcs.go RandomFunction): total = bm25 + seeded
+    uniform[0,1) hash of the doc id — deterministic, so the DuckDB twin
+    reproduces it exactly from the same md5 recipe."""
+    from ..query import ast as A
+
+    q = A.FunctionScore(
+        A.Match(("data",)),
+        (A.RandomScore(seed=42),),
+        boost_mode="sum",
+    )
+    return A.topk(spark, index_for(spark, sf_dir), q, k=10)
+
+
 def q_bool_dis_max_nested(spark, sf_dir):
     """Nested composition through the AST: dis_max( bool(must=data,
     should=merge), phrase("hash join") ), tie_breaker 0.2 — arbitrary
@@ -190,26 +205,33 @@ def q_multi_match(spark, sf_dir):
 _HL_TERMS = ["data", "merge"]
 
 
-def q_highlight(spark, sf_dir):
-    """highlight (highlight.go:10-330): MULTI-term, MULTI-fragment over
-    the query's analyzed terms — one ±20-char fragment per matched term
-    in each top-3 doc, every query term <em>-tagged inside every
-    fragment, fragments joined by ' ... ' (the ES fragment separator).
-    Terms absent from a doc contribute no fragment."""
-    s = bm25_topk(spark, index_for(spark, sf_dir), _HL_TERMS, k=3)
-    d = _docstore(spark, sf_dir).select("doc_id", "text")
+def highlight_col(terms: list[str], text_col: str = "text") -> F.Column:
+    """ES-style highlight expression (highlight.go:10-330): one ±20-char
+    fragment per TOKEN-BOUNDARY term occurrence ("data" inside
+    "database" must not tag — ES highlights analyzed tokens, not raw
+    substrings), every query term <em>-tagged inside every fragment,
+    fragments joined by ' ... ' (the ES fragment separator). Terms
+    absent from a doc contribute no fragment."""
 
     def frag(term: str):
-        pos = F.locate(term, F.col("text"))
-        raw = F.substring(F.col("text"), F.greatest(pos - 20, F.lit(1)), 45)
+        pos = F.regexp_instr(F.col(text_col), F.lit(rf"\b{term}\b"))
+        raw = F.substring(F.col(text_col), F.greatest(pos - 20, F.lit(1)), 45)
         tagged = raw
-        for t in _HL_TERMS:
-            tagged = F.regexp_replace(tagged, t, f"<em>{t}</em>")
+        for t in terms:
+            tagged = F.regexp_replace(tagged, rf"\b{t}\b", f"<em>{t}</em>")
         return F.when(pos > 0, tagged)
 
-    frags = F.filter(F.array(*[frag(t) for t in _HL_TERMS]), lambda x: x.isNotNull())
+    frags = F.filter(F.array(*[frag(t) for t in terms]), lambda x: x.isNotNull())
+    return F.array_join(frags, " ... ")
+
+
+def q_highlight(spark, sf_dir):
+    """highlight: MULTI-term, MULTI-fragment over the query's analyzed
+    terms in each top-3 doc (see highlight_col)."""
+    s = bm25_topk(spark, index_for(spark, sf_dir), _HL_TERMS, k=3)
+    d = _docstore(spark, sf_dir).select("doc_id", "text")
     return s.join(d, "doc_id").select(
-        "doc_id", "score", F.array_join(frags, " ... ").alias("highlight")
+        "doc_id", "score", highlight_col(_HL_TERMS).alias("highlight")
     )
 
 
@@ -375,6 +397,15 @@ SELECT cl.doc_id,
 FROM cl JOIN documents d ON d.doc_id = cl.doc_id
 ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
     ),
+    "function_score_random": (
+        q_function_score_random,
+        f"""WITH {bm25_ctes(['data'])}
+, cl AS (SELECT doc_id, round(sum(s), {_R}) AS sp FROM persc GROUP BY doc_id)
+SELECT cl.doc_id,
+       round(sp + cast(('0x' || substr(md5('42:' || cl.doc_id), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0, {_R}) AS score
+FROM cl ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
     "bool_dis_max_nested": (
         q_bool_dis_max_nested,
         f"""WITH {bm25_ctes(['data', 'merge', 'hash', 'join'])}
@@ -494,12 +525,10 @@ FROM bothf ORDER BY score DESC, doc_id ASC LIMIT 10""",
 fr AS (
   SELECT t.doc_id, t.score,
          list_filter([
-           CASE WHEN strpos(d.text, 'data') > 0 THEN
-             replace(replace(substr(d.text, greatest(strpos(d.text, 'data') - 20, 1), 45),
-                     'data', '<em>data</em>'), 'merge', '<em>merge</em>') END,
-           CASE WHEN strpos(d.text, 'merge') > 0 THEN
-             replace(replace(substr(d.text, greatest(strpos(d.text, 'merge') - 20, 1), 45),
-                     'data', '<em>data</em>'), 'merge', '<em>merge</em>') END
+           CASE WHEN regexp_matches(d.text, '\\bdata\\b') THEN
+             regexp_replace(regexp_replace(substr(d.text, greatest(length(regexp_extract(d.text, '(?s)(.*?)\\bdata\\b', 1)) + 1 - 20, 1), 45), '\\bdata\\b', '<em>data</em>', 'g'), '\\bmerge\\b', '<em>merge</em>', 'g') END,
+           CASE WHEN regexp_matches(d.text, '\\bmerge\\b') THEN
+             regexp_replace(regexp_replace(substr(d.text, greatest(length(regexp_extract(d.text, '(?s)(.*?)\\bmerge\\b', 1)) + 1 - 20, 1), 45), '\\bdata\\b', '<em>data</em>', 'g'), '\\bmerge\\b', '<em>merge</em>', 'g') END
          ], x -> x IS NOT NULL) AS frags
   FROM top3 t JOIN documents d ON d.doc_id = t.doc_id
 )

@@ -19,10 +19,24 @@ from ..query.wand import bm25_topk
 from ..registry import index_for
 
 QS_FIXTURE = '+data -slow merge "hash join"'
+# distinct fixture for the simple grammar entry: phrase + required +
+# negated + plain-OR clauses all exercised
+SQS_FIXTURE = '"sort merge" +scan -vector filter'
 
 
 def q_query_string(spark, sf_dir):
     return query_string_topk(spark, index_for(spark, sf_dir), QS_FIXTURE, k=10)
+
+
+def q_simple_query_string(spark, sf_dir):
+    """simple_query_string (search_queries_simple_query_string.go:19):
+    the lenient +/-/""/OR grammar — no field prefixes or wildcard
+    syntax, which is exactly the subset this engine's mini-grammar
+    implements (query/querystring.py). Distinct fixture from
+    query_string so each entry gates its own clause mix."""
+    from ..query.querystring import query_string_topk
+
+    return query_string_topk(spark, index_for(spark, sf_dir), SQS_FIXTURE, k=10)
 
 
 def q_not(spark, sf_dir):
@@ -112,6 +126,7 @@ def q_from_size(spark, sf_dir):
 
 ENTRIES = {
     "query_string": (q_query_string, query_string_oracle_sql(QS_FIXTURE, k=10)),
+    "simple_query_string": (q_simple_query_string, query_string_oracle_sql(SQS_FIXTURE, k=10)),
     "min_score": (
         q_min_score,
         f"""WITH {bm25_ctes(['scan'])}

@@ -254,6 +254,33 @@ def q_sort_multi(spark, sf_dir):
     )
 
 
+def q_sort_mode(spark, sf_dir):
+    """sort array-mode over a multi-valued field (sort.go:20-501
+    SortMode min/max/avg/median; Lucene MultiValueMode): the per-doc
+    token-length array is the multi-valued carrier. median follows
+    Lucene MultiValueMode.MEDIAN (average of the two middles for even
+    counts — DuckDB's median/quantile_cont(0.5) matches exactly)."""
+    from ..analyzer import tokens_col
+
+    d = _docstore(spark, sf_dir)
+    v = F.array_sort(F.transform(tokens_col("text"), lambda t: F.length(t).cast("double")))
+    n = F.size(v)
+    med = F.when(
+        n % 2 == 1, F.element_at(v, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(v, (n / 2).cast("int")) + F.element_at(v, (n / 2 + 1).cast("int"))) / 2.0
+    )
+    out = d.select(
+        "doc_id",
+        F.array_min(v).alias("wl_min"),
+        F.array_max(v).alias("wl_max"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n, 6).alias("wl_avg"),
+        F.round(med, 6).alias("wl_median"),
+        n.alias("_n"),
+    ).where(F.col("_n") > 0).drop("_n")
+    return out.orderBy(F.desc("wl_median"), F.desc("wl_avg"), F.asc("doc_id")).limit(12)
+
+
 def q_keyset_page(spark, sf_dir):
     """scroll/scan as keyset pagination (scroll.go:20, scan.go:30):
     page of 20 after doc_id 100, ordered by doc_id."""
@@ -356,6 +383,22 @@ SELECT string_agg(term, ' ' ORDER BY pos) AS suggestion, sum(df)::BIGINT AS scor
         q_sort_multi,
         "SELECT doc_id, lang, length(text) AS n_chars FROM documents "
         "ORDER BY lang ASC NULLS LAST, n_chars DESC, doc_id ASC LIMIT 15",
+    ),
+    "sort_mode": (
+        q_sort_mode,
+        """WITH v AS (
+  SELECT doc_id,
+         list_sort(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> length(x)::DOUBLE)) AS wl
+  FROM documents
+)
+SELECT doc_id,
+       list_min(wl) AS wl_min,
+       list_max(wl) AS wl_max,
+       round(list_sum(wl) / len(wl), 6) AS wl_avg,
+       round(CASE WHEN len(wl) % 2 = 1 THEN wl[(len(wl) + 1) // 2]
+                  ELSE (wl[len(wl) // 2] + wl[len(wl) // 2 + 1]) / 2.0 END, 6) AS wl_median
+FROM v WHERE len(wl) > 0
+ORDER BY wl_median DESC, wl_avg DESC, doc_id ASC LIMIT 12""",
     ),
     "sort_top": (
         q_sort_top,

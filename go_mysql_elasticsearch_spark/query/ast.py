@@ -150,6 +150,16 @@ class FieldValueFactor:
 
 
 @dataclass(frozen=True)
+class RandomScore:
+    """Deterministic random_score (vendor elastic.v3
+    search_queries_fsq_score_funcs.go RandomFunction): seeded hash of
+    the doc id -> uniform [0,1). md5-based so any engine reproduces it
+    bit-for-bit (same determinism trick as the LSH hyperplanes)."""
+
+    seed: int = 0
+
+
+@dataclass(frozen=True)
 class FunctionScore:
     query: object
     functions: tuple
@@ -323,6 +333,17 @@ def _function_score_hits(spark, reader, q: FunctionScore) -> DataFrame:
                 factors.append(F.greatest(F.lit(0.0), 1.0 - F.abs(x - fn.origin) / F.lit(float(fn.scale))))
             else:
                 raise ValueError(fn.kind)
+        elif isinstance(fn, RandomScore):
+            # first 15 hex chars of md5("seed:doc_id") / 16^15: exact in
+            # int64, converts to the same nearest-double everywhere
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(fn.seed)), F.col("doc_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            )
+            factors.append(h.cast("double") / F.lit(float(16 ** 15)))
         elif isinstance(fn, FieldValueFactor):
             x = F.coalesce(F.col(f"_f_{fn.field}").cast("double"), F.lit(float(fn.missing)))
             v = x * fn.factor

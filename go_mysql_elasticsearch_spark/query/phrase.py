@@ -89,9 +89,12 @@ def _make_positional_scorer(
 ):
     """Group scorer: verify the position chain ``chain_tids`` (tid of
     the phrase word at each offset) and, for phrase_prefix, require some
-    ``prefix_tids`` member adjacent after the chain. ``slop`` allows up
-    to that many extra positions between EACH adjacent word pair
-    (ordered, per-gap slack — slop=0 is exact adjacency). Survivors
+    ``prefix_tids`` member adjacent after the chain. ``slop`` is the
+    Lucene/ES TOTAL move budget (SloppyPhraseMatcher semantics): a doc
+    matches iff some window [w, w+slop] contains an offset-adjusted
+    position (pos - word_offset) of every phrase word — so transposed
+    words match at slop>=2 and 'a x x b x x c' needs slop>=4 for
+    'a b c' (NOT per-gap slack). slop=0 is exact adjacency. Survivors
     score Σ idf·tfpart over ``score_tids``."""
     from ..analyzer import BM25_B, BM25_K1
 
@@ -139,30 +142,37 @@ def _make_positional_scorer(
             return (np.repeat(ci, lens).astype(np.int64) << 32) | pos.astype(np.int64)
 
         m = len(chain_tids)
-        # s_keys tracks the LAST matched word's (cand, pos) keys; each
-        # step advances to the next word's positions reachable within
-        # 1..slop+1 — for slop=0 this is the exact-adjacency chain.
-        def step(s_keys: np.ndarray, next_keys: np.ndarray) -> np.ndarray:
-            hits = [
-                next_keys[np.isin(next_keys, s_keys + d)] for d in range(1, slop + 2)
-            ]
-            return np.unique(np.concatenate(hits)) if hits else next_keys[:0]
+        # BIAS keeps the packed position part positive after the -j-d
+        # offset shifts (position payloads are < 2^31, so +BIAS never
+        # overflows into the candidate-index bits)
+        BIAS = 1024
 
-        s_keys = keyed_positions(data[chain_tids[0]])
+        def adjusted(keys: np.ndarray, offset: int) -> np.ndarray:
+            return keys + (BIAS - offset)
+
+        def window_cover(keys: np.ndarray, offset: int) -> np.ndarray:
+            """All w such that word ``offset`` has an adjusted position
+            inside [w, w+slop] — the per-word coverage set."""
+            a = adjusted(keys, offset)
+            if slop == 0:
+                return a
+            return np.unique(np.concatenate([a - d for d in range(slop + 1)]))
+
+        surv = window_cover(keyed_positions(data[chain_tids[0]]), 0)
         for j in range(1, m):
-            if s_keys.size == 0:
+            if surv.size == 0:
                 return _EMPTY
-            s_keys = step(s_keys, keyed_positions(data[chain_tids[j]]))
+            surv = surv[np.isin(surv, window_cover(keyed_positions(data[chain_tids[j]]), j))]
         if prefix_tids is not None:
-            if s_keys.size == 0:
+            if surv.size == 0:
                 return _EMPTY
             exp_keys = np.concatenate(
                 [keyed_positions(data[t]) for t in prefix_tids if t in data]
             )
-            s_keys = step(s_keys, exp_keys)
-        if s_keys.size == 0:
+            surv = surv[np.isin(surv, window_cover(exp_keys, m))]
+        if surv.size == 0:
             return _EMPTY
-        hit_idx = np.unique(s_keys >> 32)
+        hit_idx = np.unique(surv >> 32)
         hit_docs = cand[hit_idx]
 
         raw = np.zeros(hit_docs.size, dtype=np.float64)
@@ -194,9 +204,18 @@ def _positional_hits(
 
     if "pos_vb" not in reader.postings().columns:
         return None
+    if slop > 0 and len(set(chain_words)) != len(chain_words):
+        # Lucene's repeated-term sloppy matching has collision rules
+        # (one token may not satisfy two phrase offsets) the window
+        # cover below does not model; refuse rather than silently differ
+        raise NotImplementedError("sloppy phrase with repeated words is not supported")
     empty = spark.createDataFrame([], "doc_id long, raw double")
     tids_map = term_ids(spark, list(dict.fromkeys(chain_words + score_words)))
-    dfs = reader.df_lookup(list(tids_map.values()))
+    # df lookup covers the PREFIX-expansion tids too: their postings are
+    # pulled by the tid IN filter below, so they must count toward the
+    # driver-path byte estimate (a high-df prefix could otherwise drag
+    # far more than DRIVER_PATH_MAX_BYTES onto the driver)
+    dfs = reader.df_lookup(list(tids_map.values()) + list(prefix_tids or []))
     chain_tids = [tids_map[w] for w in chain_words]
     score_tids = list(dict.fromkeys(tids_map[w] for w in score_words))
     if any(t not in dfs for t in chain_tids + score_tids):
@@ -261,8 +280,24 @@ def match_phrase_prefix(
     pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
     words = phrase_words(phrase, pattern)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if len(words) < 2:
+    if not words:
         return empty
+    if len(words) == 1:
+        # ES degrades a one-term match_phrase_prefix to a plain prefix
+        # query on that term (ADVICE r2): multi-term rewrite, constant
+        # score 1.0, served from the dictionary + pruned postings scan
+        exp = (
+            reader.term_strings()
+            .where(F.col("term").startswith(words[0]))
+            .orderBy(F.asc("term"))
+            .limit(max_expansions)
+            .select("tid")
+            .collect()
+        )
+        if not exp:
+            return empty
+        docs = reader.term_doc_ids([r["tid"] for r in exp]).select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(1.0).alias("score")).orderBy(F.asc("doc_id")).limit(k)
     full, prefix = words[:-1], words[-1]
     exp = (
         reader.term_strings()
@@ -349,16 +384,19 @@ ORDER BY round(raw, {ROUND_DIGITS}) DESC, doc_id ASC LIMIT {k}""".strip()
 
 
 def phrase_slop_oracle_sql(words: list[str], slop: int, k: int = 10) -> str:
-    """DuckDB twin of sloppy match_phrase: ordered chain with per-gap
-    slack (gap between adjacent words in [1, slop+1]), BM25 sum over
-    the unique words, all of which must be present."""
+    """DuckDB twin of sloppy match_phrase, Lucene total-budget
+    semantics: an assignment of one position per word whose
+    offset-adjusted spread max(i_j - j) - least(i_j - j) is <= slop.
+    BM25 sum over the unique words, all of which must be present."""
     from .scoring import ROUND_DIGITS, bm25_ctes
 
     uniq = list(dict.fromkeys(words))
+    assert len(uniq) == len(words), "sloppy oracle assumes distinct words"
     m = len(words)
     froms = ", ".join(f"unnest(range(1, len(t) + 1)) AS u{j}(i{j})" for j in range(m))
     conds = [f"t[i{j}] = '{w}'" for j, w in enumerate(words)]
-    conds += [f"i{j} - i{j-1} BETWEEN 1 AND {slop + 1}" for j in range(1, m)]
+    adj = ", ".join(f"i{j} - {j}" for j in range(m))
+    conds += [f"greatest({adj}) - least({adj}) <= {slop}"]
     return f"""WITH {bm25_ctes(uniq)},
 phrase_docs AS (
   SELECT DISTINCT doc_id FROM toks, {froms}

@@ -108,3 +108,18 @@ def test_topk_from_and_min_score(spark, reader):
     cutoff = full[3][1]
     kept = A.topk(spark, reader, q, k=1000, min_score=cutoff).collect()
     assert all(r["score"] >= cutoff for r in kept)
+
+
+def test_highlight_tags_only_token_boundaries(spark):
+    """ADVICE/VERDICT r2: ES highlights analyzed tokens — "data" inside
+    "database" must NOT tag; standalone "data" must."""
+    from go_mysql_elasticsearch_spark.entries.compound import highlight_col
+
+    df = spark.createDataFrame(
+        [(1, "my database rocks"), (2, "my data rocks"), (3, "database data")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", highlight_col(["data"]).alias("h")).collect()}
+    assert got[1] == ""  # no boundary match → no fragment
+    assert "<em>data</em>" in got[2] and "<em>database</em>" not in got[2]
+    assert "database <em>data</em>" in got[3]  # only the standalone token tagged
