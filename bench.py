@@ -117,6 +117,7 @@ def _timed_queries(spark, reader, queries: dict) -> tuple[dict, dict]:
         return bm25_topk(spark, reader, terms, k=10, mode=mode).collect()
 
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     lat: list[float] = []
     for name, spec in queries.items():
         run(spec)  # warm
@@ -126,11 +127,17 @@ def _timed_queries(spark, reader, queries: dict) -> tuple[dict, dict]:
             run(spec)
             runs.append(time.time() - t0)
         per_query[name] = round(sorted(runs)[1], 4)  # median of 3
+        # best-of alongside the median: the sandbox has ±2x noisy-
+        # neighbor swings; min is the machine-capability estimator,
+        # median the honest typical — reporting both makes regressions
+        # attributable to code vs noise
+        per_query_min[name] = round(min(runs), 4)
         lat.extend(runs)
     lat.sort()
     stats = {
         "p50_sec": round(lat[len(lat) // 2], 4),
         "p99_sec": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 4),
+        "queries_min": per_query_min,
     }
     return per_query, stats
 
@@ -216,11 +223,13 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "query_p99_sec": lat_stats["p99_sec"],
+        "queries_min": lat_stats["queries_min"],
         "big_index": {
             "n_docs": big_n,
             "queries": big_queries,
             "p50_sec": big_stats["p50_sec"],
             "p99_sec": big_stats["p99_sec"],
+            "queries_min": big_stats["queries_min"],
         },
         "build_docs_per_sec": build["docs_per_sec"],
         "build_n_docs": build["n_docs"],

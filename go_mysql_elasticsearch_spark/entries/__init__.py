@@ -26,6 +26,11 @@ _PRIORITY = [
     "geo_bounding_box",
     "geo_distance",
     "geo_polygon",
+    "agg_geo_distance",
+    "agg_geo_bounds",
+    "agg_geohash_grid",
+    "match_fuzzy",
+    "post_filter",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

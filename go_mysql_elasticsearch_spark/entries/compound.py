@@ -110,6 +110,26 @@ def q_function_score_weight(spark, sf_dir):
     return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
+def q_match_fuzzy(spark, sf_dir):
+    """match with fuzziness (search_queries_match.go:16-214, Fuzziness
+    knob): each query term expands against the term dictionary within
+    levenshtein <= 1 (the Lucene fuzzy rewrite), then one OR match over
+    the expanded term set — scores sum per expansion, exactly the
+    blended multi-term rewrite. 'dta' matches only via expansion
+    ('data'); the dictionary walk is a tiny driver-side lookup, the
+    scoring path is the standard WAND/vectorized kernel."""
+    r = index_for(spark, sf_dir)
+    qterms = ["dta", "merge"]
+    pred = None
+    for t in qterms:
+        c = F.levenshtein(F.col("term"), F.lit(t)) <= 1
+        pred = c if pred is None else (pred | c)
+    exp = sorted(row["term"] for row in r.term_strings().where(pred).select("term").collect())
+    if not exp:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk(spark, r, exp, mode="or", k=10)
+
+
 def q_function_score_random(spark, sf_dir):
     """function_score random_score with a fixed seed, boost_mode=sum
     (fsq_score_funcs.go RandomFunction): total = bm25 + seeded
@@ -396,6 +416,19 @@ SELECT cl.doc_id,
        round(sp + 0.5 * exp(-pow(length(d.text)::DOUBLE - 100, 2) / 45000.0), {_R}) AS score
 FROM cl JOIN documents d ON d.doc_id = cl.doc_id
 ORDER BY score DESC, cl.doc_id ASC LIMIT 10""",
+    ),
+    "match_fuzzy": (
+        q_match_fuzzy,
+        f"""WITH {bm25_ctes(None)}
+, exps AS (
+  SELECT DISTINCT term FROM dfreq
+  WHERE levenshtein(term, 'dta') <= 1 OR levenshtein(term, 'merge') <= 1
+)
+, sc AS (
+  SELECT doc_id, round(sum(s), {_R}) AS score FROM persc
+  WHERE term IN (SELECT term FROM exps) GROUP BY doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
     ),
     "function_score_random": (
         q_function_score_random,

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..analyzer import tokens_col
 from ..query.querystring import query_string_oracle_sql, query_string_topk
 from ..query.scoring import ROUND_DIGITS, bm25_ctes
+
+_R = ROUND_DIGITS
 from ..query.wand import bm25_topk
 from ..registry import index_for
 
@@ -109,6 +111,27 @@ def q_min_score(spark, sf_dir):
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def q_post_filter(spark, sf_dir):
+    """post_filter (search_source.go:13-499 PostFilter): filters the
+    HITS after scoring while aggregations still see the full matched
+    set. One frame carries both semantics: top-10 match(data) hits
+    restricted to lang='de' post-scoring, plus total_matched = the
+    PRE-filter matched count (what an agg would see) broadcast onto
+    every row."""
+    r = index_for(spark, sf_dir)
+    scored = bm25_topk(spark, r, ["data"], return_all=True)
+    d = r.docstore().select("doc_id", "lang")
+    j = scored.join(d, "doc_id")
+    total = j.agg(F.count(F.lit(1)).cast("long").alias("total_matched"))
+    out = (
+        j.where(F.col("lang") == "de")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select("doc_id", "score", "lang", "total_matched")
+
+
 def q_from_size(spark, sf_dir):
     """from/size pagination (search.go:20-235): rows 6..15 of the
     ranked result — offset window over the deterministic order."""
@@ -127,6 +150,16 @@ def q_from_size(spark, sf_dir):
 ENTRIES = {
     "query_string": (q_query_string, query_string_oracle_sql(QS_FIXTURE, k=10)),
     "simple_query_string": (q_simple_query_string, query_string_oracle_sql(SQS_FIXTURE, k=10)),
+    "post_filter": (
+        q_post_filter,
+        f"""WITH {bm25_ctes(['data'])}
+, sc AS (SELECT doc_id, round(sum(s), {_R}) AS score FROM persc GROUP BY doc_id)
+, j AS (SELECT sc.doc_id, sc.score, d.lang FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+, tot AS (SELECT count(*) AS total_matched FROM j)
+SELECT j.doc_id, j.score, j.lang, tot.total_matched
+FROM j CROSS JOIN tot WHERE j.lang = 'de'
+ORDER BY j.score DESC, j.doc_id ASC LIMIT 10""",
+    ),
     "min_score": (
         q_min_score,
         f"""WITH {bm25_ctes(['scan'])}

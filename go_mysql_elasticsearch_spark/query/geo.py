@@ -86,3 +86,42 @@ def convex_polygon_sql(lat_expr: str, lon_expr: str, points: list[tuple[float, f
             f"(({x2} - {x1}) * (({lat_expr}) - {y1}) - ({y2} - {y1}) * (({lon_expr}) - {x1})) >= 0"
         )
     return " AND ".join(conds)
+
+
+B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """Base32 geohash of a point as a SQL expression valid in BOTH
+    Spark SQL and DuckDB (search_aggs_bucket_geohash_grid.go — the grid
+    agg's cell key). Bit interleaving unrolled to pure integer
+    arithmetic: bit n of x = CASE WHEN x % 2^(n+1) >= 2^n THEN 1 END —
+    no dialect-specific functions, so the oracle runs the IDENTICAL
+    expression. Validated against the canonical test vectors
+    (u4p/u4pru for 57.64911, 10.40744)."""
+    total = 5 * precision
+    nlon, nlat = (total + 1) // 2, total // 2
+    ix = f"least(cast(floor((({lon_expr}) + 180.0) / 360.0 * {1 << nlon}) AS BIGINT), {(1 << nlon) - 1})"
+    iy = f"least(cast(floor((({lat_expr}) + 90.0) / 180.0 * {1 << nlat}) AS BIGINT), {(1 << nlat) - 1})"
+
+    def bit(x: str, n: int) -> str:
+        return f"(CASE WHEN ({x}) % {1 << (n + 1)} >= {1 << n} THEN 1 ELSE 0 END)"
+
+    terms = []
+    for k in range(total):
+        if k % 2 == 0:
+            b = bit("__ix", nlon - 1 - k // 2)
+        else:
+            b = bit("__iy", nlat - 1 - k // 2)
+        terms.append(f"{b} * {1 << (total - 1 - k)}")
+    v = " + ".join(terms)
+    v = f"({v})"
+    # explicit floor(): DuckDB's int->int cast ROUNDS while Spark's
+    # truncates — floor is the dialect-common truncation
+    chars = [
+        f"substr('{B32}', cast(floor(({v}) / {1 << (5 * (precision - 1 - i))}.0) AS BIGINT) % 32 + 1, 1)"
+        for i in range(precision)
+    ]
+    expr = " || ".join(chars)
+    # inline ix/iy (no lateral aliases — keeps it a single expression)
+    return expr.replace("__ix", ix).replace("__iy", iy)
