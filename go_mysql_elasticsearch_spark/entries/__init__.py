@@ -31,16 +31,22 @@ _PRIORITY = [
     "agg_geohash_grid",
     "match_fuzzy",
     "post_filter",
+    "msearch",
+    "termvectors",
+    "field_stats",
+    "template_query",
+    "inner_hits",
+    "suggest_completion_fuzzy",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]
 
 
 def all_entries() -> dict:
-    from . import aggs, compound, geo, pipeline_ops, relations, rowdoc, structured
+    from . import aggs, compound, geo, pipeline_ops, relations, rowdoc, services, structured
 
     merged: dict = {}
-    for mod in (structured, compound, aggs, pipeline_ops, rowdoc, relations, geo):
+    for mod in (structured, compound, aggs, pipeline_ops, rowdoc, relations, geo, services):
         overlap = set(merged) & set(mod.ENTRIES)
         if overlap:
             raise ValueError(f"duplicate entry names: {overlap}")

@@ -1,0 +1,243 @@
+"""Retrieval-service operators beyond plain _search (SURVEY §2.4
+residual client surface): msearch (msearch.go), termvectors
+(termvectors.go / mtermvectors.go), field_stats (field_stats.go),
+template query (search_queries_template_query.go:15 +
+search_template.go), inner hits (inner_hit.go:16), fuzzy completion
+suggester (suggester_completion_fuzzy.go:12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..analyzer import duckdb_tokens_sql, tokens_col
+from ..query.scoring import ROUND_DIGITS, bm25_ctes
+from ..registry import index_for
+
+_R = ROUND_DIGITS
+
+
+def _docstore(spark, sf_dir):
+    return index_for(spark, sf_dir).docstore()
+
+
+# --- msearch ---------------------------------------------------------------
+
+MSEARCH = [(0, ["data", "merge"], "or"), (1, ["scan"], "or")]
+
+
+def q_msearch(spark, sf_dir):
+    """msearch (msearch.go): a BATCH of independent searches answered in
+    one round trip — each sub-query runs the normal top-k path, results
+    union with a qid discriminator. On a cluster the sub-queries share
+    the postings scan cache and run as independent jobs."""
+    from ..query.wand import bm25_topk
+
+    r = index_for(spark, sf_dir)
+    frames = []
+    for qid, terms, mode in MSEARCH:
+        hits = bm25_topk(spark, r, terms, k=5, mode=mode)
+        frames.append(hits.select(F.lit(qid).alias("qid"), "doc_id", "score"))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("qid", F.desc("score"), F.asc("doc_id"))
+
+
+def _msearch_sql() -> str:
+    all_terms = sorted({t for _, ts, _ in MSEARCH for t in ts})
+    subs = []
+    for qid, terms, _mode in MSEARCH:
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        subs.append(
+            f"(SELECT {qid} AS qid, doc_id, round(sum(s) FILTER (WHERE term IN ({in_list})), {_R}) AS score\n"
+            f" FROM persc GROUP BY doc_id\n"
+            f" HAVING sum(s) FILTER (WHERE term IN ({in_list})) IS NOT NULL\n"
+            f" ORDER BY score DESC, doc_id ASC LIMIT 5)"
+        )
+    union = "\nUNION ALL\n".join(subs)
+    return f"""WITH {bm25_ctes(all_terms)}
+SELECT * FROM ({union})
+ORDER BY qid, score DESC, doc_id ASC"""
+
+
+# --- termvectors -----------------------------------------------------------
+
+TV_DOC = 42
+
+
+def q_termvectors(spark, sf_dir):
+    """termvectors (termvectors.go; mget variant mtermvectors.go):
+    per-document (term, tf, positions) — ES materializes these at index
+    time; here the single stored doc is re-analyzed (one-row
+    projection, no corpus scan). Positions 0-based like ES; joined to a
+    string for a type-stable cross-engine compare."""
+    d = _docstore(spark, sf_dir).where(F.col("doc_id") == TV_DOC)
+    toks = d.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions"),
+        )
+        .orderBy("term")
+    )
+
+
+_TV_SQL = f"""WITH tv AS (
+  SELECT unnest({duckdb_tokens_sql('text')}) AS term,
+         generate_subscripts({duckdb_tokens_sql('text')}, 1) - 1 AS pos
+  FROM documents WHERE doc_id = {TV_DOC}
+)
+SELECT term, count(*) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM tv GROUP BY term ORDER BY term"""
+
+
+# --- field_stats -----------------------------------------------------------
+
+def q_field_stats(spark, sf_dir):
+    """field_stats (field_stats.go): per-field min/max/doc_count across
+    the index — served from docstore aggregates (on parquet these come
+    from footer statistics; one partial-agg pass here)."""
+    d = _docstore(spark, sf_dir)
+    rows = [
+        d.agg(
+            F.lit("doc_id").alias("field"),
+            F.min("doc_id").cast("string").alias("min_value"),
+            F.max("doc_id").cast("string").alias("max_value"),
+            F.count("doc_id").cast("long").alias("doc_count"),
+        ),
+        d.agg(
+            F.lit("n_chars").alias("field"),
+            F.min(F.length("text")).cast("string").alias("min_value"),
+            F.max(F.length("text")).cast("string").alias("max_value"),
+            F.count("text").cast("long").alias("doc_count"),
+        ),
+        d.agg(
+            F.lit("lang").alias("field"),
+            F.min("lang").cast("string").alias("min_value"),
+            F.max("lang").cast("string").alias("max_value"),
+            F.count("lang").cast("long").alias("doc_count"),
+        ),
+    ]
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out.orderBy("field")
+
+
+_FIELD_STATS_SQL = """SELECT * FROM (
+SELECT 'doc_id' AS field, cast(min(doc_id) AS VARCHAR) AS min_value,
+       cast(max(doc_id) AS VARCHAR) AS max_value, count(doc_id) AS doc_count FROM documents
+UNION ALL
+SELECT 'n_chars', cast(min(length(text)) AS VARCHAR), cast(max(length(text)) AS VARCHAR), count(text) FROM documents
+UNION ALL
+SELECT 'lang', cast(min(lang) AS VARCHAR), cast(max(lang) AS VARCHAR), count(lang) FROM documents
+) ORDER BY field"""
+
+
+# --- template query ---------------------------------------------------------
+
+TEMPLATE_SRC = '+{{must}} {{should}} "{{p1}} {{p2}}"'
+TEMPLATE_PARAMS = {"must": "data", "should": "merge", "p1": "hash", "p2": "join"}
+
+
+def q_template_query(spark, sf_dir):
+    """template query (search_queries_template_query.go:15,
+    search_template.go): mustache-style {{param}} substitution into a
+    stored query source, then normal execution — rendered here into the
+    query_string grammar."""
+    from ..query.querystring import query_string_topk, render_template
+
+    rendered = render_template(TEMPLATE_SRC, TEMPLATE_PARAMS)
+    return query_string_topk(spark, index_for(spark, sf_dir), rendered, k=10)
+
+
+# --- inner hits --------------------------------------------------------------
+
+def q_inner_hits(spark, sf_dir):
+    """inner hits (inner_hit.go:16): a has_child query that also
+    RETURNS the best matching child per parent — the parent hit plus
+    its top inner hit in one frame (window row_number per parent,
+    ordered by child tf desc)."""
+    from pyspark.sql import Window
+
+    r = index_for(spark, sf_dir)
+    d = r.docstore()
+    children = (
+        d.where(F.col("doc_id") >= 10)
+        .withColumn("parent_id", F.col("doc_id") % 10)
+        .select(
+            "parent_id",
+            F.col("doc_id").alias("child_id"),
+            F.size(F.filter(tokens_col("text"), lambda t: t == "dup")).alias("child_tf"),
+        )
+        .where(F.col("child_tf") > 0)
+    )
+    w = Window.partitionBy("parent_id").orderBy(F.desc("child_tf"), F.asc("child_id"))
+    best = children.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.select("parent_id", "child_id", "child_tf").orderBy("parent_id")
+
+
+_INNER_HITS_SQL = f"""WITH ch AS (
+  SELECT doc_id % 10 AS parent_id, doc_id AS child_id,
+         len(list_filter({duckdb_tokens_sql('text')}, t -> t = 'dup')) AS child_tf
+  FROM documents WHERE doc_id >= 10
+), m AS (
+  SELECT *, row_number() OVER (PARTITION BY parent_id ORDER BY child_tf DESC, child_id ASC) AS rn
+  FROM ch WHERE child_tf > 0
+)
+SELECT parent_id, child_id, child_tf FROM m WHERE rn = 1 ORDER BY parent_id"""
+
+
+# --- fuzzy completion suggester ----------------------------------------------
+
+FUZZY_PREFIX = "scn"  # typo for 'sca...' — matches 'scan' at edit 1
+
+
+def q_suggest_completion_fuzzy(spark, sf_dir):
+    """fuzzy completion suggester (suggester_completion_fuzzy.go:12):
+    completion where the PREFIX itself tolerates one edit — candidates
+    whose first len(prefix) chars are within levenshtein 1, weighted by
+    df, top-5 (weight desc, term asc)."""
+    r = index_for(spark, sf_dir)
+    n = len(FUZZY_PREFIX)
+    return (
+        r.term_strings()
+        .where(F.levenshtein(F.substring("term", 1, n), F.lit(FUZZY_PREFIX)) <= 1)
+        .select("term", F.col("df").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(5)
+    )
+
+
+def _fuzzy_completion_sql() -> str:
+    n = len(FUZZY_PREFIX)
+    return f"""WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS t FROM documents
+), dict AS (
+  SELECT term, count(*) AS weight
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+)
+SELECT term, weight FROM dict
+WHERE levenshtein(substr(term, 1, {n}), '{FUZZY_PREFIX}') <= 1
+ORDER BY weight DESC, term ASC LIMIT 5"""
+
+
+def _template_oracle() -> str:
+    from ..query.querystring import query_string_oracle_sql, render_template
+
+    return query_string_oracle_sql(render_template(TEMPLATE_SRC, TEMPLATE_PARAMS), k=10)
+
+
+ENTRIES = {
+    "msearch": (q_msearch, _msearch_sql()),
+    "termvectors": (q_termvectors, _TV_SQL),
+    "field_stats": (q_field_stats, _FIELD_STATS_SQL),
+    "template_query": (q_template_query, None),  # filled lazily below
+    "inner_hits": (q_inner_hits, _INNER_HITS_SQL),
+    "suggest_completion_fuzzy": (q_suggest_completion_fuzzy, _fuzzy_completion_sql()),
+}
+ENTRIES["template_query"] = (q_template_query, _template_oracle())

@@ -38,6 +38,17 @@ class ParsedQuery:
         return list(out)
 
 
+def render_template(source: str, params: dict) -> str:
+    """Mustache-style {{param}} substitution (template query,
+    search_queries_template_query.go:15 / search_template.go): ES
+    renders a stored source with params then executes it; here the
+    rendered string feeds the same mini-grammar."""
+    out = source
+    for k, v in params.items():
+        out = out.replace("{{" + k + "}}", str(v))
+    return out
+
+
 def parse_query_string(q: str) -> ParsedQuery:
     from .scoring import analyze_query
 
