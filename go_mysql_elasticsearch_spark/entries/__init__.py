@@ -37,6 +37,7 @@ _PRIORITY = [
     "template_query",
     "inner_hits",
     "suggest_completion_fuzzy",
+    "raw_dsl_query",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

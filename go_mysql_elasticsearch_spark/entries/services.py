@@ -191,6 +191,50 @@ _INNER_HITS_SQL = f"""WITH ch AS (
 SELECT parent_id, child_id, child_tf FROM m WHERE rn = 1 ORDER BY parent_id"""
 
 
+# --- raw JSON DSL query ------------------------------------------------------
+
+RAW_DSL_BODY = """{
+  "bool": {
+    "must": [{"match": {"text": {"query": "data merge", "minimum_should_match": 2}}}],
+    "should": [{"match": {"text": {"query": "hash join", "type": "phrase"}}}],
+    "must_not": [{"term": {"lang": "zh"}}],
+    "filter": [{"range": {"n_chars": {"gt": 40}}}]
+  }
+}"""
+
+
+def q_raw_dsl(spark, sf_dir):
+    """RawStringQuery (search_queries_raw_string.go:13): the exact JSON
+    body a reference user sends to ES, decoded by query/dsl.py into the
+    AST and executed — bool(must=match msm=2, should=match_phrase,
+    must_not=term, filter=range) in one wire-format round trip."""
+    from ..query.dsl import raw_string_topk
+
+    return raw_string_topk(spark, index_for(spark, sf_dir), RAW_DSL_BODY, k=10)
+
+
+_RAW_DSL_SQL = f"""WITH {bm25_ctes(['data', 'merge', 'hash', 'join'])}
+, m AS (
+  SELECT doc_id, round(sum(s) FILTER (WHERE term IN ('data','merge')), {_R}) AS sm
+  FROM persc GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE term IN ('data','merge')) >= 2
+),
+phrase_docs AS (
+  SELECT DISTINCT doc_id FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2 AND t[i] = 'hash' AND t[i+1] = 'join'
+),
+ph AS (
+  SELECT doc_id, round(sum(s), {_R}) AS sp FROM persc
+  WHERE term IN ('hash','join') AND doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT m.doc_id, round(m.sm + coalesce(ph.sp, 0), {_R}) AS score
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+LEFT JOIN ph ON ph.doc_id = m.doc_id
+WHERE (d.lang IS NULL OR d.lang <> 'zh') AND length(d.text) > 40
+ORDER BY score DESC, m.doc_id ASC LIMIT 10"""
+
+
 # --- fuzzy completion suggester ----------------------------------------------
 
 FUZZY_PREFIX = "scn"  # typo for 'sca...' — matches 'scan' at edit 1
@@ -238,6 +282,7 @@ ENTRIES = {
     "field_stats": (q_field_stats, _FIELD_STATS_SQL),
     "template_query": (q_template_query, None),  # filled lazily below
     "inner_hits": (q_inner_hits, _INNER_HITS_SQL),
+    "raw_dsl_query": (q_raw_dsl, _RAW_DSL_SQL),
     "suggest_completion_fuzzy": (q_suggest_completion_fuzzy, _fuzzy_completion_sql()),
 }
 ENTRIES["template_query"] = (q_template_query, _template_oracle())
