@@ -38,6 +38,8 @@ _PRIORITY = [
     "inner_hits",
     "suggest_completion_fuzzy",
     "raw_dsl_query",
+    "script_query",
+    "script_fields",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

@@ -191,6 +191,74 @@ _INNER_HITS_SQL = f"""WITH ch AS (
 SELECT parent_id, child_id, child_tf FROM m WHERE rn = 1 ORDER BY parent_id"""
 
 
+# --- script query / script fields -------------------------------------------
+
+SCRIPT_QUERY_SRC = "doc['n_chars'].value % 7 == 0 && doc['doc_id'].value % 3 != 1"
+SCRIPT_FIELD_SRC = "sqrt(doc['n_chars'].value) * factor + floor(doc['doc_id'].value / 100)"
+SCRIPT_FIELD_PARAMS = {"factor": 2.5}
+
+
+def q_script_query(spark, sf_dir):
+    """script query (search_queries_script.go:13, script.go:15): the
+    inline script is parsed ONCE on the driver (query/script.py) and
+    compiled to a Catalyst predicate — filter context, score 1.0,
+    evaluated vectorized in whole-stage codegen, never per-row."""
+    from ..query.script import parse_script, spark_fields, to_column
+
+    pred = to_column(parse_script(SCRIPT_QUERY_SRC), spark_fields())
+    return (
+        _docstore(spark, sf_dir)
+        .where(pred)
+        .select("doc_id", F.lit(1.0).alias("score"))
+    )
+
+
+def _script_query_sql() -> str:
+    from ..query.script import SQL_FIELDS, parse_script, to_sql
+
+    return (
+        "SELECT doc_id, 1.0::DOUBLE AS score FROM documents "
+        f"WHERE {to_sql(parse_script(SCRIPT_QUERY_SRC), SQL_FIELDS)}"
+    )
+
+
+def q_script_fields(spark, sf_dir):
+    """script_fields (search_source.go ScriptFields + script.go Params):
+    top-k match hits carrying an extra per-hit computed field — params
+    substituted at parse time, expression runs as a Catalyst projection
+    over the hit set only (never the corpus)."""
+    from ..query.script import parse_script, spark_fields, to_column
+    from ..query.wand import bm25_topk
+
+    node = parse_script(SCRIPT_FIELD_SRC, SCRIPT_FIELD_PARAMS)
+    hits = bm25_topk(spark, index_for(spark, sf_dir), ["data"], k=10)
+    d = _docstore(spark, sf_dir).select("doc_id", "text")
+    return (
+        hits.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            F.round(to_column(node, spark_fields()), 6).alias("computed"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _script_fields_sql() -> str:
+    from ..query.script import parse_script, to_sql
+
+    qualified = {"doc_id": "d.doc_id", "n_chars": "length(d.text)", "lang": "d.lang"}
+    expr = to_sql(parse_script(SCRIPT_FIELD_SRC, SCRIPT_FIELD_PARAMS), qualified)
+    return f"""WITH {bm25_ctes(['data'])}
+, sc AS (
+  SELECT doc_id, round(sum(s), {_R}) AS score FROM persc GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT sc.doc_id, sc.score, round({expr}, 6) AS computed
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+ORDER BY sc.score DESC, sc.doc_id ASC"""
+
+
 # --- raw JSON DSL query ------------------------------------------------------
 
 RAW_DSL_BODY = """{
@@ -283,6 +351,8 @@ ENTRIES = {
     "template_query": (q_template_query, None),  # filled lazily below
     "inner_hits": (q_inner_hits, _INNER_HITS_SQL),
     "raw_dsl_query": (q_raw_dsl, _RAW_DSL_SQL),
+    "script_query": (q_script_query, _script_query_sql()),
+    "script_fields": (q_script_fields, _script_fields_sql()),
     "suggest_completion_fuzzy": (q_suggest_completion_fuzzy, _fuzzy_completion_sql()),
 }
 ENTRIES["template_query"] = (q_template_query, _template_oracle())

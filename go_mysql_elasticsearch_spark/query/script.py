@@ -1,0 +1,253 @@
+"""Mini script engine: ES inline scripts -> Spark Column + ANSI SQL.
+
+The reference's client attaches ``Script`` objects to queries, sorts,
+updates and aggregations (script.go:15-112; consumed by
+search_queries_script.go:13, sort.go ScriptSort, update.go:17,
+update_by_query.go). ES evaluates them per-document in Groovy/Painless;
+here the same expression is PARSED ONCE on the driver and compiled to a
+Catalyst Column — so "scripts" run vectorized inside whole-stage
+codegen, never per-row Python. The identical parse tree also renders to
+ANSI SQL so every scripted operator keeps a DuckDB oracle twin.
+
+Supported grammar (the arithmetic/boolean painless subset the reference
+rivers actually use):
+
+    doc['field'].value            field access
+    params resolved at parse time (ES Script.Params, script.go:71-75)
+    + - * / %  (numeric; / is double division)
+    == != >= <= > <   && ||   unary -
+    abs(x) ln(x) sqrt(x) floor(x) min(x,y) max(x,y)
+    numbers, 'string' literals, parentheses
+
+Scale note: compilation is driver-side string work; the emitted Column
+is ordinary Catalyst — pushdown/codegen apply as if hand-written.
+"""
+
+from __future__ import annotations
+
+import re
+
+# (spark_builder, sql_text) per stored/virtual doc field. n_chars is the
+# mapping-layer virtual field (river/rule.go field mappings).
+_FUNCS = {"abs": 1, "ln": 1, "sqrt": 1, "floor": 1, "min": 2, "max": 2}
+
+_TOKEN_RX = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<doc>doc\['[A-Za-z_][A-Za-z_0-9]*'\]\.value)"
+    r"|(?P<name>[A-Za-z_][A-Za-z_0-9]*)|(?P<str>'[^']*')"
+    r"|(?P<op>==|!=|>=|<=|&&|\|\||[-+*/%<>(),]))"
+)
+
+
+def _tokenize(src: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RX.match(src, pos)
+        if not m or m.end() == m.start():
+            rest = src[pos:].strip()
+            if not rest:
+                break
+            raise ValueError(f"bad script at: {rest[:30]!r}")
+        out.append(m.group().strip())
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    """Recursive-descent over the precedence ladder || < && < cmp <
+    add < mul < unary < primary."""
+
+    def __init__(self, toks: list[str], params: dict):
+        self.toks, self.i, self.params = toks, 0, params or {}
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self, want=None):
+        t = self.peek()
+        if t is None or (want is not None and t != want):
+            raise ValueError(f"expected {want!r}, got {t!r}")
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def or_(self):
+        n = self.and_()
+        while self.peek() == "||":
+            self.eat()
+            n = ("or", n, self.and_())
+        return n
+
+    def and_(self):
+        n = self.cmp()
+        while self.peek() == "&&":
+            self.eat()
+            n = ("and", n, self.cmp())
+        return n
+
+    def cmp(self):
+        n = self.add()
+        if self.peek() in ("==", "!=", ">=", "<=", ">", "<"):
+            op = self.eat()
+            n = ("cmp", op, n, self.add())
+        return n
+
+    def add(self):
+        n = self.mul()
+        while self.peek() in ("+", "-"):
+            op = self.eat()
+            n = ("bin", op, n, self.mul())
+        return n
+
+    def mul(self):
+        n = self.unary()
+        while self.peek() in ("*", "/", "%"):
+            op = self.eat()
+            n = ("bin", op, n, self.unary())
+        return n
+
+    def unary(self):
+        if self.peek() == "-":
+            self.eat()
+            return ("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of script")
+        if t == "(":
+            self.eat()
+            n = self.or_()
+            self.eat(")")
+            return n
+        if t in _FUNCS:
+            name = self.eat()
+            self.eat("(")
+            args = [self.or_()]
+            while self.peek() == ",":
+                self.eat()
+                args.append(self.or_())
+            self.eat(")")
+            if len(args) != _FUNCS[name]:
+                raise ValueError(f"{name}() takes {_FUNCS[name]} args")
+            return ("fn", name, args)
+        if t.startswith("doc['"):
+            self.eat()
+            return ("field", t[5:-8])
+        if t.startswith("'"):
+            self.eat()
+            return ("lit", t[1:-1])
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            self.eat()
+            return ("lit", float(t) if "." in t else int(t))
+        # bare name -> script param (substituted at parse time,
+        # script.go:71-75 Params)
+        if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t):
+            self.eat()
+            if t not in self.params:
+                raise ValueError(f"unbound script param: {t}")
+            return ("lit", self.params[t])
+        raise ValueError(f"unexpected token {t!r}")
+
+
+def parse_script(src: str, params: dict | None = None):
+    return _Parser(_tokenize(src), params or {}).parse()
+
+
+# --- renderers --------------------------------------------------------------
+
+def to_column(node, fields: dict):
+    """Render to a Catalyst Column. ``fields`` maps doc-field name ->
+    zero-arg Column builder (virtual fields included)."""
+    from pyspark.sql import functions as F
+
+    kind = node[0]
+    if kind == "lit":
+        return F.lit(node[1])
+    if kind == "field":
+        if node[1] not in fields:
+            raise ValueError(f"unknown doc field: {node[1]}")
+        return fields[node[1]]()
+    if kind == "neg":
+        return -to_column(node[1], fields)
+    if kind == "bin":
+        op, a, b = node[1], to_column(node[2], fields), to_column(node[3], fields)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a.cast("double") / b.cast("double")
+        return a % b
+    if kind == "cmp":
+        op, a, b = node[1], to_column(node[2], fields), to_column(node[3], fields)
+        return {
+            "==": a == b, "!=": a != b, ">=": a >= b,
+            "<=": a <= b, ">": a > b, "<": a < b,
+        }[op]
+    if kind == "and":
+        return to_column(node[1], fields) & to_column(node[2], fields)
+    if kind == "or":
+        return to_column(node[1], fields) | to_column(node[2], fields)
+    if kind == "fn":
+        args = [to_column(a, fields) for a in node[2]]
+        return {
+            "abs": F.abs, "ln": F.log, "sqrt": F.sqrt, "floor": F.floor,
+            "min": F.least, "max": F.greatest,
+        }[node[1]](*args)
+    raise ValueError(f"bad node: {node}")
+
+
+def to_sql(node, fields: dict) -> str:
+    """Render to dialect-common SQL (valid in both Spark SQL and
+    DuckDB). ``fields`` maps doc-field name -> SQL expression text."""
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        return f"'{v}'" if isinstance(v, str) else repr(v)
+    if kind == "field":
+        if node[1] not in fields:
+            raise ValueError(f"unknown doc field: {node[1]}")
+        return fields[node[1]]
+    if kind == "neg":
+        return f"(- {to_sql(node[1], fields)})"
+    if kind == "bin":
+        op = node[1]
+        a, b = to_sql(node[2], fields), to_sql(node[3], fields)
+        if op == "/":
+            return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
+        return f"({a} {op} {b})"
+    if kind == "cmp":
+        op = {"==": "=", "!=": "<>"}.get(node[1], node[1])
+        return f"({to_sql(node[2], fields)} {op} {to_sql(node[3], fields)})"
+    if kind == "and":
+        return f"({to_sql(node[1], fields)} AND {to_sql(node[2], fields)})"
+    if kind == "or":
+        return f"({to_sql(node[1], fields)} OR {to_sql(node[2], fields)})"
+    if kind == "fn":
+        args = ", ".join(to_sql(a, fields) for a in node[2])
+        name = {"min": "least", "max": "greatest"}[node[1]] if node[1] in ("min", "max") else node[1]
+        return f"{name}({args})"
+    raise ValueError(f"bad node: {node}")
+
+
+# Default field bindings for the documents docstore (text/lang stored;
+# n_chars is the virtual mapping field).
+def spark_fields():
+    from pyspark.sql import functions as F
+
+    return {
+        "doc_id": lambda: F.col("doc_id"),
+        "lang": lambda: F.col("lang"),
+        "n_chars": lambda: F.length("text"),
+    }
+
+
+SQL_FIELDS = {"doc_id": "doc_id", "lang": "lang", "n_chars": "length(text)"}
