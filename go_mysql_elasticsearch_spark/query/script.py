@@ -238,6 +238,31 @@ def to_sql(node, fields: dict) -> str:
     raise ValueError(f"bad node: {node}")
 
 
+_ASSIGN_RX = re.compile(
+    r"^\s*ctx\._source\.(?P<field>[A-Za-z_][A-Za-z_0-9]*)\s*=\s*(?P<expr>.+?)\s*$"
+)
+
+
+def parse_update_script(src: str, params: dict | None = None) -> list[tuple[str, object]]:
+    """ES update scripts (update.go:17, update_by_query.go): a ';'-
+    separated list of ``ctx._source.<field> = <expr>`` assignments.
+    Returns [(field, parsed expr)] in source order — the caller renders
+    each expr with to_column() and withColumn()s them onto the doc
+    frame, so a scripted update of 10^9 docs is one Catalyst projection,
+    not per-row script invocations."""
+    out = []
+    for stmt in src.split(";"):
+        if not stmt.strip():
+            continue
+        m = _ASSIGN_RX.match(stmt)
+        if not m:
+            raise ValueError(f"not an assignment: {stmt.strip()[:40]!r}")
+        out.append((m.group("field"), parse_script(m.group("expr"), params)))
+    if not out:
+        raise ValueError("empty update script")
+    return out
+
+
 # Default field bindings for the documents docstore (text/lang stored;
 # n_chars is the virtual mapping field).
 def spark_fields():

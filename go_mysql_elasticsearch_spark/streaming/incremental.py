@@ -166,6 +166,79 @@ def delete_by_query(
         dead.unpersist()
 
 
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    script: str,
+    params: dict | None = None,
+    mode: str = "or",
+    n_shards: int = 8,
+) -> int:
+    """update_by_query with an inline script (update_by_query.go +
+    update.go:17 script path): match docs, apply the parsed
+    ``ctx._source.<field> = <expr>`` assignments as ONE Catalyst
+    projection over the matched doc set, and feed the result through
+    the standard update path (tombstone old version + new segment).
+    Fully distributed — matched ids never visit the driver. Returns the
+    number of docs updated."""
+    from ..query.script import parse_update_script, spark_fields, to_column
+    from ..query.wand import bm25_topk
+
+    assigns = parse_update_script(script, params)
+    reader = IndexReader(spark, index_dir)
+    matched = bm25_topk(spark, reader, query, mode=mode, return_all=True).select("doc_id")
+    docs = reader.docstore().join(matched, "doc_id", "left_semi")
+    fields = spark_fields()
+    for fname, node in assigns:
+        docs = docs.withColumn(fname, to_column(node, fields))
+    changes = docs.select(
+        F.lit("update").alias("action"), *[c for c in DOC_COLS if c in docs.columns]
+    ).cache()
+    try:
+        n = changes.count()
+        if n:
+            apply_changes(spark, index_dir, changes, n_shards=n_shards)
+        return n
+    finally:
+        changes.unpersist()
+
+
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    query: str | list[str] | None = None,
+    script: str | None = None,
+    params: dict | None = None,
+    mode: str = "or",
+    n_segments: int = 1,
+    n_shards: int = 8,
+) -> list[dict]:
+    """Reindex (reindexer.go:1-60 / reindex.go): copy the LIVE docs of
+    one index into a fresh target index, optionally filtered by a query
+    and transformed by an update script. The reference client scrolls
+    source hits through the caller's process and bulk-indexes them;
+    here source docstore -> (filter) -> (projection) -> build_index is
+    one distributed plan — no scroll loop, no driver round trips, and
+    the target build keeps the single-wide-shuffle property of the
+    normal build path."""
+    from ..index.build import build_index
+    from ..query.script import parse_update_script, spark_fields, to_column
+    from ..query.wand import bm25_topk
+
+    reader = IndexReader(spark, src_index_dir)
+    docs = reader.docstore().drop("segment", "dl")
+    if query is not None:
+        matched = bm25_topk(spark, reader, query, mode=mode, return_all=True).select("doc_id")
+        docs = docs.join(matched, "doc_id", "left_semi")
+    if script is not None:
+        fields = spark_fields()
+        for fname, node in parse_update_script(script, params):
+            docs = docs.withColumn(fname, to_column(node, fields))
+    return build_index(spark, docs, dst_index_dir, n_segments=n_segments, n_shards=n_shards)
+
+
 def stream_changes_into_index(
     spark: SparkSession,
     changes_stream: DataFrame,
