@@ -40,6 +40,8 @@ _PRIORITY = [
     "raw_dsl_query",
     "script_query",
     "script_fields",
+    "suggest_context_category",
+    "suggest_context_geo",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

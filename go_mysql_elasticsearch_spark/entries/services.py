@@ -338,6 +338,93 @@ WHERE levenshtein(substr(term, 1, {n}), '{FUZZY_PREFIX}') <= 1
 ORDER BY weight DESC, term ASC LIMIT 5"""
 
 
+# --- context suggesters ------------------------------------------------------
+
+CTX_PREFIX = "s"
+CTX_LANG = "en"
+CTX_POINT = (57.0, 10.0)
+CTX_GEO_PRECISION = 1
+
+
+def _ctx_cell() -> str:
+    """Geohash cell of the query point — computed once with the SAME
+    dialect-common expression both engines use for doc cells."""
+    import duckdb
+
+    from ..query.geo import geohash_sql
+
+    return duckdb.sql(
+        f"SELECT {geohash_sql(str(CTX_POINT[0]), str(CTX_POINT[1]), CTX_GEO_PRECISION)}"
+    ).fetchone()[0]
+
+
+def q_suggest_context_category(spark, sf_dir):
+    """completion suggester with a CATEGORY context
+    (suggester_context_category.go:14): candidates restricted to docs
+    carrying the context value (lang=en) — ES keeps one FST per
+    context; here the context-scoped dictionary is a filtered
+    distinct-(doc,term) count. The lang filter pushes into the parquet
+    scan before tokenization touches anything."""
+    d = _docstore(spark, sf_dir).where(F.col("lang") == CTX_LANG)
+    toks = d.select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    return (
+        toks.where(F.col("term").startswith(CTX_PREFIX))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(5)
+    )
+
+
+_CTX_CATEGORY_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({duckdb_tokens_sql('text')})) AS term
+  FROM documents WHERE lang = '{CTX_LANG}'
+)
+SELECT term, count(*) AS weight FROM toks
+WHERE term LIKE '{CTX_PREFIX}%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
+
+
+def q_suggest_context_geo(spark, sf_dir):
+    """completion suggester with a GEO context
+    (suggester_context_geo.go:16): candidates restricted to docs whose
+    geohash cell (precision {CTX_GEO_PRECISION}) equals the query
+    point's cell — ES buckets completion entries by geohash context;
+    the cell key is the dialect-common arithmetic geohash
+    (query/geo.py), so the oracle reproduces it bit-for-bit."""
+    from ..query.geo import geohash_sql, lat_col, lon_col
+
+    cell = _ctx_cell()
+    d = (
+        _docstore(spark, sf_dir)
+        .withColumn("lat", lat_col())
+        .withColumn("lon", lon_col())
+        .where(F.expr(geohash_sql("lat", "lon", CTX_GEO_PRECISION)) == cell)
+    )
+    toks = d.select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+    return (
+        toks.where(F.col("term").startswith(CTX_PREFIX))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(5)
+    )
+
+
+def _ctx_geo_sql() -> str:
+    from ..query.geo import LAT_SQL, LON_SQL, geohash_sql
+
+    return f"""WITH g AS (
+  SELECT doc_id, text, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_distinct({duckdb_tokens_sql('text')})) AS term
+  FROM g WHERE {geohash_sql('lat', 'lon', CTX_GEO_PRECISION)} = '{_ctx_cell()}'
+)
+SELECT term, count(*) AS weight FROM toks
+WHERE term LIKE '{CTX_PREFIX}%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 5"""
+
+
 def _template_oracle() -> str:
     from ..query.querystring import query_string_oracle_sql, render_template
 
@@ -354,5 +441,7 @@ ENTRIES = {
     "script_query": (q_script_query, _script_query_sql()),
     "script_fields": (q_script_fields, _script_fields_sql()),
     "suggest_completion_fuzzy": (q_suggest_completion_fuzzy, _fuzzy_completion_sql()),
+    "suggest_context_category": (q_suggest_context_category, _CTX_CATEGORY_SQL),
+    "suggest_context_geo": (q_suggest_context_geo, _ctx_geo_sql()),
 }
 ENTRIES["template_query"] = (q_template_query, _template_oracle())
