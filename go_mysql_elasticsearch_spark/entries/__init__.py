@@ -42,6 +42,8 @@ _PRIORITY = [
     "script_fields",
     "suggest_context_category",
     "suggest_context_geo",
+    "pipeline_mov_avg_ewma",
+    "pipeline_mov_avg_holt",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

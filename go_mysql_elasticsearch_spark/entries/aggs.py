@@ -275,6 +275,107 @@ def q_moving_avg(spark, sf_dir):
     )
 
 
+MOVAVG_WINDOW = 5  # ES default window
+EWMA_ALPHA = 0.3  # ES EwmaModel default
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.1  # ES HoltLinearModel defaults
+
+
+def _lagged_hourly(spark, sf_dir):
+    """Hourly buckets + the window's values as lag columns x1(oldest)..
+    x5(current) — the unrolled carrier for the recursive mov_avg
+    models. One window spec, no extra shuffle beyond the hourly agg."""
+    h = _hourly(spark, sf_dir)
+    w = Window.orderBy("h")
+    for i in range(MOVAVG_WINDOW):
+        h = h.withColumn(
+            f"x{i + 1}",
+            F.lag(F.col("c").cast("double"), MOVAVG_WINDOW - 1 - i).over(w),
+        )
+    return h
+
+
+def q_mov_avg_ewma(spark, sf_dir):
+    """mov_avg model=ewma (search_aggs_pipeline_mov_avg.go EWMA model,
+    alpha=0.3): single-exponential smoothing seeded with the window's
+    oldest value — avg := alpha*x + (1-alpha)*avg over the 5-bucket
+    window, unrolled to closed arithmetic on lag columns (identical
+    recursion in the SQL twin). Buckets with an incomplete window emit
+    NULL."""
+    h = _lagged_hourly(spark, sf_dir)
+    s = F.col("x1")
+    for i in range(2, MOVAVG_WINDOW + 1):
+        s = EWMA_ALPHA * F.col(f"x{i}") + (1.0 - EWMA_ALPHA) * s
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(s, 6).alias("ewma"),
+    )
+
+
+def q_mov_avg_holt(spark, sf_dir):
+    """mov_avg model=holt (search_aggs_pipeline_mov_avg.go HoltLinear,
+    alpha=0.3 beta=0.1): double-exponential smoothing over the window,
+    textbook seeding s:=x1, b:=x2-x1, then s' = a*x + (1-a)*(s+b),
+    b' = B*(s'-s) + (1-B)*b; the bucket value is the final level s.
+    Stepwise withColumn chain — the SQL twin runs the identical steps
+    as nested subqueries, so both engines do the same float ops in the
+    same order."""
+    h = _lagged_hourly(spark, sf_dir)
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    h = h.withColumn("s2", a * F.col("x2") + (1 - a) * (F.col("x1") + (F.col("x2") - F.col("x1"))))
+    h = h.withColumn("b2", b_ * (F.col("s2") - F.col("x1")) + (1 - b_) * (F.col("x2") - F.col("x1")))
+    for i in range(3, MOVAVG_WINDOW + 1):
+        p = i - 1
+        h = h.withColumn(f"s{i}", a * F.col(f"x{i}") + (1 - a) * (F.col(f"s{p}") + F.col(f"b{p}")))
+        h = h.withColumn(f"b{i}", b_ * (F.col(f"s{i}") - F.col(f"s{p}")) + (1 - b_) * F.col(f"b{p}"))
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.col(f"s{MOVAVG_WINDOW}"), 6).alias("holt"),
+    )
+
+
+_LAGGED_SQL = (
+    f"WITH h AS ({{hourly}}), lg AS (SELECT h, "
+    + ", ".join(
+        f"lag(c::DOUBLE, {MOVAVG_WINDOW - 1 - i}) OVER (ORDER BY h) AS x{i + 1}"
+        for i in range(MOVAVG_WINDOW)
+    )
+    + " FROM h)"
+)
+
+
+def _ewma_sql() -> str:
+    s = "x1"
+    for i in range(2, MOVAVG_WINDOW + 1):
+        s = f"({EWMA_ALPHA} * x{i} + {1.0 - EWMA_ALPHA} * {s})"
+    return (
+        _LAGGED_SQL.format(hourly=_HOURLY_SQL)
+        + f" SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, round({s}, 6) AS ewma FROM lg"
+    )
+
+
+def _holt_sql() -> str:
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    q = (
+        _LAGGED_SQL.format(hourly=_HOURLY_SQL)
+        + f", st2 AS (SELECT *, {a} * x2 + {1 - a} * (x1 + (x2 - x1)) AS s2, "
+        f"{b_} * (({a} * x2 + {1 - a} * (x1 + (x2 - x1))) - x1) + {1 - b_} * (x2 - x1) AS b2 FROM lg)"
+    )
+    prev = "st2"
+    for i in range(3, MOVAVG_WINDOW + 1):
+        p = i - 1
+        q += (
+            f", st{i} AS (SELECT *, {a} * x{i} + {1 - a} * (s{p} + b{p}) AS s{i}_tmp, "
+            f"{b_} * (({a} * x{i} + {1 - a} * (s{p} + b{p})) - s{p}) + {1 - b_} * b{p} AS b{i} FROM {prev})"
+        )
+        q += f", r{i} AS (SELECT *, s{i}_tmp AS s{i} FROM st{i})"
+        prev = f"r{i}"
+    q += (
+        f" SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        f"round(s{MOVAVG_WINDOW}, 6) AS holt FROM {prev}"
+    )
+    return q
+
+
 def q_serial_diff(spark, sf_dir):
     """serial_diff lag=2 (search_aggs_pipeline_serial_diff.go)."""
     h = _hourly(spark, sf_dir)
@@ -537,6 +638,8 @@ FROM m""",
         f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
         "round(avg(c) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg FROM h",
     ),
+    "pipeline_mov_avg_ewma": (q_mov_avg_ewma, _ewma_sql()),
+    "pipeline_mov_avg_holt": (q_mov_avg_holt, _holt_sql()),
     "pipeline_serial_diff": (
         q_serial_diff,
         f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
