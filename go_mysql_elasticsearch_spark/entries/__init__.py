@@ -44,6 +44,7 @@ _PRIORITY = [
     "suggest_context_geo",
     "pipeline_mov_avg_ewma",
     "pipeline_mov_avg_holt",
+    "windowed_counts",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

@@ -275,6 +275,35 @@ def q_moving_avg(spark, sf_dir):
     )
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows per event_type via F.window — the
+    Structured-Streaming-native bucketing (streaming/windowed.py); the
+    watermarked streaming twin of this exact aggregation is asserted
+    output-identical (and late-data-dropping) in
+    tests/test_windowed.py. Timestamps stringified for hash-stable
+    cross-engine compare."""
+    from ..streaming.windowed import windowed_counts
+
+    out = windowed_counts(_events(spark, sf_dir))
+    return out.select(
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "event_type",
+        "n",
+        "v",
+    )
+
+
+def _windowed_counts_sql() -> str:
+    from ..streaming.windowed import windowed_counts_oracle_sql
+
+    return (
+        "SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, "
+        "strftime(w_end, '%Y-%m-%d %H:%M:%S') AS w_end, event_type, n, v "
+        f"FROM ({windowed_counts_oracle_sql()})"
+    )
+
+
 MOVAVG_WINDOW = 5  # ES default window
 EWMA_ALPHA = 0.3  # ES EwmaModel default
 HOLT_ALPHA, HOLT_BETA = 0.3, 0.1  # ES HoltLinearModel defaults
@@ -638,6 +667,7 @@ FROM m""",
         f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
         "round(avg(c) OVER (ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg FROM h",
     ),
+    "windowed_counts": (q_windowed_counts, _windowed_counts_sql()),
     "pipeline_mov_avg_ewma": (q_mov_avg_ewma, _ewma_sql()),
     "pipeline_mov_avg_holt": (q_mov_avg_holt, _holt_sql()),
     "pipeline_serial_diff": (
