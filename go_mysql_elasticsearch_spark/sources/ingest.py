@@ -41,6 +41,27 @@ def read_typed(
     return out
 
 
+def load_table(spark: SparkSession, ref: str) -> DataFrame:
+    """S1 source resolution: one name, two source kinds.
+
+    - ``catalog.db.table`` / ``db.table`` / bare table name (no path
+      separator) → ``spark.read.table`` — this is how an ICEBERG table
+      arrives when its catalog is configured on the cluster
+      (``--conf spark.sql.catalog.<name>=...``): Iceberg's Catalyst
+      extensions then contribute snapshot isolation plus partition/
+      file pruning on top of the same DataFrame surface.
+    - anything with a path separator → parquet directory scan.
+
+    The engine downstream never branches on which: both produce the
+    same DataFrame, the same predicate-pushdown surface, the same
+    build plan. (The sandbox ships no Iceberg jars, so tests exercise
+    the table path via temp views — the resolution logic is
+    identical.)"""
+    if "/" in ref or "\\" in ref:
+        return spark.read.parquet(ref)
+    return spark.read.table(ref)
+
+
 def discover_tables(spark: SparkSession, pattern: str, database: str | None = None) -> list[str]:
     """S9: regex table discovery over the catalog (the Spark analogue
     of `SELECT table_name FROM information_schema.tables WHERE

@@ -23,7 +23,7 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet of docs (doc_id, text[, url, warc_ts, lang]) or webpages (html)")
+    ap.add_argument("--input", required=True, help="docs source: parquet path OR catalog table name (e.g. an Iceberg table 'cat.db.webpages') with (doc_id, text[, url, warc_ts, lang]) or webpages (html)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--shards", type=int, default=8)
@@ -37,8 +37,9 @@ def main() -> None:
 
     from go_mysql_elasticsearch_spark.analyzer import extract_text_udf
     from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.sources.ingest import load_table
 
-    docs = spark.read.parquet(args.input)
+    docs = load_table(spark, args.input)
     if args.extract_html:
         docs = docs.withColumn("text", extract_text_udf("html")).drop("html")
     manifests = build_index(

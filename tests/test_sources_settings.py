@@ -109,3 +109,21 @@ def test_delete_by_query(spark, tmp_path):
     r = IndexReader(spark, idx)
     assert bm25_topk(spark, r, ["dup"], k=10).count() == 0
     assert r.docstore().count() == 500 - n
+
+
+def test_load_table_resolves_path_and_catalog_name(spark, tmp_path):
+    """S1 source resolution (sources/ingest.py load_table): a path →
+    parquet scan; a catalog name (how an Iceberg table arrives once its
+    catalog is configured) → spark.read.table. Same frame either way."""
+    from go_mysql_elasticsearch_spark.sources.ingest import load_table
+
+    p = str(tmp_path / "lt.parquet")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    df.write.parquet(p)
+    by_path = load_table(spark, p)
+    assert sorted(r["doc_id"] for r in by_path.collect()) == [1, 2]
+
+    spark.read.parquet(p).createOrReplaceTempView("lt_view")
+    by_name = load_table(spark, "lt_view")
+    assert sorted(r["doc_id"] for r in by_name.collect()) == [1, 2]
+    assert by_name.schema == by_path.schema
