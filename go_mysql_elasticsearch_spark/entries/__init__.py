@@ -45,6 +45,7 @@ _PRIORITY = [
     "pipeline_mov_avg_ewma",
     "pipeline_mov_avg_holt",
     "windowed_counts",
+    "percolate_filtered",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

@@ -273,6 +273,30 @@ def q_percolate(spark, sf_dir):
     return percolate(docs, stored).orderBy("doc_id", "query_id")
 
 
+def q_percolate_filtered(spark, sf_dir):
+    """percolate with structured constraints (ES percolator queries
+    are full bool bodies — match + filter; percolate.go:18): stored
+    queries carry optional lang / min-length filters evaluated on the
+    candidate pairs after the term join (query/percolate.py)."""
+    from ..query.percolate import percolate
+
+    stored = spark.createDataFrame(
+        [
+            (0, ["dup"], "or", None, None),
+            (1, ["data"], "or", "en", None),
+            (2, ["data"], "or", None, 120),
+            (3, ["data", "merge"], "and", "de", 60),
+        ],
+        "query_id int, terms array<string>, mode string, flt_lang string, flt_min_nchars long",
+    )
+    docs = (
+        _docstore(spark, sf_dir)
+        .where((F.col("doc_id") >= 40) & (F.col("doc_id") < 90))
+        .select("doc_id", "text", "lang")
+    )
+    return percolate(docs, stored).orderBy("doc_id", "query_id")
+
+
 def q_rescore(spark, sf_dir):
     """rescore (search `rescore` window, rescore.go): take the top-20
     window of match(data), re-rank it by query_weight·orig +
@@ -580,6 +604,27 @@ SELECT doc_id, query_id FROM stored, doct
 WHERE CASE WHEN mode = 'and'
            THEN len(list_intersect(terms, t)) = len(terms)
            ELSE len(list_intersect(terms, t)) > 0 END
+ORDER BY doc_id, query_id""",
+    ),
+    "percolate_filtered": (
+        q_percolate_filtered,
+        """WITH doct AS (
+  SELECT doc_id, lang, length(text) AS nch,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id >= 40 AND doc_id < 90
+),
+stored(query_id, terms, mode, flt_lang, flt_min_nchars) AS (
+  VALUES (0, ['dup'], 'or', NULL, NULL),
+         (1, ['data'], 'or', 'en', NULL),
+         (2, ['data'], 'or', NULL, 120),
+         (3, ['data', 'merge'], 'and', 'de', 60)
+)
+SELECT doc_id, query_id FROM stored, doct
+WHERE CASE WHEN mode = 'and'
+           THEN len(list_intersect(terms, t)) = len(terms)
+           ELSE len(list_intersect(terms, t)) > 0 END
+  AND (flt_lang IS NULL OR flt_lang = lang)
+  AND (flt_min_nchars IS NULL OR nch >= flt_min_nchars)
 ORDER BY doc_id, query_id""",
     ),
     "explain": (
