@@ -55,6 +55,13 @@ _TOPK_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("raw", DoubleType())]
 )
 
+# Block-decode telemetry: blocks SEEN by cursors vs blocks actually
+# DECODED. The gap is block-max WAND's value proposition (skipped
+# blocks are skipped varbyte decodes + skipped scoring); the pruning
+# test asserts the gap exists on a skewed corpus. Two int increments
+# per block event — measurement, not overhead.
+DECODE_STATS = {"decoded": 0, "blocks": 0}
+
 
 class _TermIter:
     """Cursor over one (term, segment, shard) sub-list: lazily decodes
@@ -82,6 +89,7 @@ class _TermIter:
             np.max(tfpart(self.max_tfs.astype(np.float64), self.min_dls.astype(np.float64), avgdl, self.k1, self.b))
         )
         self.bi = -1
+        DECODE_STATS["blocks"] += len(self.packs)
         self._load(0)
 
     def _load(self, bi: int) -> None:
@@ -91,6 +99,7 @@ class _TermIter:
             return
         if bi != self.bi:
             self.bi = bi
+            DECODE_STATS["decoded"] += 1
             d, t, l = unpack_block(*self.packs[bi])
             self.docs = d.astype(np.int64)
             self.tfs = t.astype(np.float64)

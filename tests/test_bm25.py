@@ -205,3 +205,37 @@ def test_phrase_prefix_single_token_degrades_to_prefix_query(spark, reader):
         .select("doc_id").collect()
     }
     assert {r["doc_id"] for r in got} == expect
+
+
+def test_wand_block_max_pruning_skips_blocks(spark, tmp_path, monkeypatch):
+    """Block-max WAND must actually SKIP blocks on a skewed corpus: a
+    3-doc needle term + an every-doc hay term, top-3 — once the heap
+    holds three needle(+hay) docs, theta exceeds hay's solo upper
+    bound, so the hay cursor jumps via next_geq and most hay blocks
+    are never varbyte-decoded (DECODE_STATS gap)."""
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader
+    from go_mysql_elasticsearch_spark.query import wand
+
+    n = 4000
+    needles = {5, 9, 13}  # early, so theta rises past hay's UB fast
+    rows = [
+        (i, ("needle hay" if i in needles else "hay filler" + str(i % 7)) )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "prune_idx")
+    # small blocks so one posting list spans many blocks
+    build_index(spark, docs, idx, n_segments=1, n_shards=1, block_size=64)
+    reader = IndexReader(spark, idx)
+
+    monkeypatch.setattr(wand, "OR_KERNEL", "wand")
+    wand.DECODE_STATS.update(decoded=0, blocks=0)
+    hits = wand.bm25_topk(
+        spark, reader, ["needle", "hay"], k=3, strategy="driver"
+    ).collect()
+    assert {r["doc_id"] for r in hits} == needles
+    stats = dict(wand.DECODE_STATS)
+    # hay alone spans ~63 blocks; pruning must leave most undecoded
+    assert stats["blocks"] >= 40, stats
+    assert stats["decoded"] < stats["blocks"] * 0.5, stats
