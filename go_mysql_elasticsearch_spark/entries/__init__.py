@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipeline_mov_avg_holt",
     "windowed_counts",
     "percolate_filtered",
+    "agg_cardinality_hll",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]
