@@ -251,6 +251,7 @@ def build_segment(
     block_size: int = BLOCK_SIZE,
     overwrite: bool = False,
     settings: dict | None = None,
+    extra_manifest: dict | None = None,
 ) -> dict | None:
     """Build one index segment; returns its manifest dict.
 
@@ -371,6 +372,7 @@ def build_segment(
         "n_shards": n_shards,
         "block_size": block_size,
         "wall_time_sec": round(time.time() - t0, 3),
+        **(extra_manifest or {}),
     }
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:

@@ -43,6 +43,18 @@ class IndexReader:
         for mp in sorted(glob.glob(os.path.join(self.root, "segments", "seg=*", "manifest.json"))):
             with open(mp) as f:
                 self.manifests.append(json.load(f))
+        # Tiered-merge supersession (Lucene merge semantics): a merged
+        # segment's manifest lists the ids it replaced; those segments
+        # are dead the INSTANT the merged manifest lands (its atomic
+        # write is the commit point — a crash before old-dir GC leaves
+        # garbage dirs, never duplicate docs).
+        superseded: set[str] = set()
+        for m in self.manifests:
+            superseded.update(str(s) for s in m.get("merged_from", []))
+        if superseded:
+            self.manifests = [
+                m for m in self.manifests if str(m["segment_id"]) not in superseded
+            ]
         if not self.manifests:
             raise FileNotFoundError(f"no completed segments under {index_dir}")
 

@@ -136,6 +136,80 @@ def compact(
     return manifests
 
 
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    segment_ids: list[int | str],
+    n_shards: int = 8,
+    _skip_gc: bool = False,
+) -> dict:
+    """Tiered PARTIAL merge (Lucene merge-policy shape; the full
+    rebuild is ``compact()``): fold the given segments' LIVE docs into
+    ONE new segment, leaving every other segment untouched. At real
+    scale this is how an incremental index stays query-efficient — a
+    stream of small CDC segments merges up a tier at a time, each merge
+    costing only the bytes of the segments it touches, never the whole
+    index (compact() is O(index); this is O(merged tier)).
+
+    Crash safety without a generation swap: the merged segment's
+    manifest (written ATOMICALLY, last) carries ``merged_from`` — the
+    reader treats those ids as dead the moment the manifest exists
+    (index/reader.py supersession), so the only crash artifact is
+    un-GC'd directories, reclaimed by the next merge. Tombstones aimed
+    at merged segments become inert (the merged copy lives in a newer
+    segment than any ``upto_seg`` that targeted the old ones).
+
+    Returns the merged segment's manifest."""
+    import shutil
+
+    ids = [str(s) for s in segment_ids]
+    if len(ids) < 2:
+        raise ValueError("merge needs at least two segments")
+    reader = IndexReader(spark, index_dir)
+    known = {str(m["segment_id"]) for m in reader.manifests}
+    missing = [s for s in ids if s not in known]
+    if missing:
+        raise ValueError(f"cannot merge unknown/superseded segments: {missing}")
+    new_seg = _next_segment_id(index_dir)
+    live = (
+        reader.docstore()
+        .where(F.col("segment").isin(ids))
+        .drop("segment", "dl")
+    )
+    manifest = build_segment(
+        spark,
+        live,
+        gen_root(index_dir),
+        segment_id=new_seg,
+        n_shards=n_shards,
+        extra_manifest={"merged_from": ids},
+    )
+    if not _skip_gc:
+        gc_superseded_segments(index_dir)
+    return manifest
+
+
+def gc_superseded_segments(index_dir: str) -> list[str]:
+    """Remove segment dirs superseded by a merge (safe any time: the
+    reader already ignores them). Returns the removed paths."""
+    import glob
+    import json as _json
+    import shutil
+
+    root = gen_root(index_dir)
+    superseded: set[str] = set()
+    for mp in glob.glob(os.path.join(root, "segments", "seg=*", "manifest.json")):
+        with open(mp) as f:
+            superseded.update(str(s) for s in _json.load(f).get("merged_from", []))
+    removed = []
+    for sid in superseded:
+        d = os.path.join(root, "segments", f"seg={sid}")
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def delete_by_query(
     spark: SparkSession,
     index_dir: str,
