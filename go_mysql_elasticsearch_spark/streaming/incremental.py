@@ -337,6 +337,57 @@ def stream_changes_into_index(
     )
 
 
+def plan_tiered_merge(
+    manifests: list[dict],
+    merge_factor: int = 4,
+    tier_base: int = 10_000,
+) -> list[list[str]]:
+    """Tiered merge policy (the Lucene TieredMergePolicy shape): bucket
+    segments into size tiers (log_{merge_factor} of doc count above
+    ``tier_base``); any tier holding ≥ merge_factor segments merges
+    into one segment of the NEXT tier. Pure manifest arithmetic — no
+    data scan; the caller feeds each returned group to
+    ``merge_segments``.
+
+    Why this beats compact-everything at scale: a CDC stream writes
+    many small segments; merging tier-by-tier gives amortized
+    O(N log N) total merge bytes (each doc is rewritten once per tier
+    it climbs) instead of O(N²) for repeated full rebuilds, while
+    keeping the live segment count logarithmic — the same economics
+    that make LSM trees and Lucene work."""
+    import math
+
+    tiers: dict[int, list[dict]] = {}
+    for m in manifests:
+        n = max(1, int(m["n_docs"]))
+        tier = 0 if n < tier_base else 1 + int(math.log(n / tier_base, merge_factor))
+        tiers.setdefault(tier, []).append(m)
+    plans = []
+    for tier in sorted(tiers):
+        ms = sorted(tiers[tier], key=lambda m: int(m["n_docs"]))
+        while len(ms) >= merge_factor:
+            group, ms = ms[:merge_factor], ms[merge_factor:]
+            plans.append([str(m["segment_id"]) for m in group])
+    return plans
+
+
+def run_tiered_merges(
+    spark: SparkSession,
+    index_dir: str,
+    merge_factor: int = 4,
+    tier_base: int = 10_000,
+    n_shards: int = 8,
+) -> list[dict]:
+    """One maintenance pass: plan + execute every due tier merge.
+    Returns the merged segments' manifests."""
+    out = []
+    for group in plan_tiered_merge(
+        IndexReader(spark, index_dir).manifests, merge_factor, tier_base
+    ):
+        out.append(merge_segments(spark, index_dir, group, n_shards=n_shards))
+    return out
+
+
 def should_compact(
     reader: IndexReader,
     max_segments: int = 8,

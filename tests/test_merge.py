@@ -94,3 +94,33 @@ def test_merge_rejects_bad_ids(spark, idx3):
     merge_segments(spark, idx3, [0, 1], n_shards=2)
     with pytest.raises(ValueError, match="unknown/superseded"):
         merge_segments(spark, idx3, [0, 2])  # 0 already superseded
+
+def test_plan_tiered_merge_policy():
+    """Pure policy arithmetic: small-tier segments group by
+    merge_factor, big segments stay untouched."""
+    from go_mysql_elasticsearch_spark.streaming.incremental import plan_tiered_merge
+
+    mk = lambda i, n: {"segment_id": str(i), "n_docs": n}
+    # 5 tiny + 1 big: one group of 4 tiny, leftover tiny + big untouched
+    manifests = [mk(i, 100 + i) for i in range(5)] + [mk(9, 500_000)]
+    plans = plan_tiered_merge(manifests, merge_factor=4, tier_base=10_000)
+    assert plans == [["0", "1", "2", "3"]]
+    # 8 tiny -> two groups of 4
+    plans = plan_tiered_merge([mk(i, 50) for i in range(8)], merge_factor=4)
+    assert len(plans) == 2 and all(len(g) == 4 for g in plans)
+    # under threshold -> nothing
+    assert plan_tiered_merge([mk(i, 50) for i in range(3)], merge_factor=4) == []
+
+
+def test_run_tiered_merges_end_to_end(spark, tmp_path):
+    """8 tiny CDC-ish segments merge down to 2; queries identical."""
+    from go_mysql_elasticsearch_spark.streaming.incremental import run_tiered_merges
+
+    d = str(tmp_path / "tier_idx")
+    build_index(spark, _base_docs(spark), d, n_segments=8, n_shards=2)
+    before = _hits(spark, d, ["data", "merge"])
+    merged = run_tiered_merges(spark, d, merge_factor=4, n_shards=2)
+    assert len(merged) == 2
+    r = IndexReader(spark, d)
+    assert len(r.manifests) == 2
+    assert _hits(spark, d, ["data", "merge"]) == before
