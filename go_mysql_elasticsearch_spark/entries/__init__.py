@@ -47,6 +47,7 @@ _PRIORITY = [
     "windowed_counts",
     "percolate_filtered",
     "agg_cardinality_hll",
+    "agg_terms_cms",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

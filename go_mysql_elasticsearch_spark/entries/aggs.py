@@ -328,6 +328,44 @@ def _cardinality_hll_sql() -> str:
     )
 
 
+def q_terms_cms(spark, sf_dir):
+    """Heavy-hitter term counts via a deterministic COUNT-MIN sketch
+    (pipeline/cms.py) next to the exact counts — the fixed-memory form
+    of what terms-agg doc_count_error_upper_bound hints at
+    (search_aggs_bucket_terms.go). One token-stream scan, 4096-cell
+    sketch, estimates bit-identical across engines."""
+    from ..analyzer import tokens_col
+    from ..pipeline.cms import PROBES, estimate_df
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens_col("text")).alias("term"))
+    est = estimate_df(spark, toks)
+    exact = (
+        toks.where(F.col("term").isin(PROBES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select("term", "est", F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))
+        .orderBy("term")
+    )
+
+
+def _terms_cms_sql() -> str:
+    from ..analyzer import duckdb_tokens_sql
+    from ..pipeline.cms import PROBES, estimate_sql
+
+    toks_select = f"SELECT unnest({duckdb_tokens_sql('text')}) AS term FROM documents"
+    in_list = ", ".join(f"'{t}'" for t in PROBES)
+    return f"""WITH e AS ({estimate_sql(toks_select, 'duckdb')}),
+x AS (
+  SELECT term, count(*) AS exact FROM ({toks_select})
+  WHERE term IN ({in_list}) GROUP BY term
+)
+SELECT e.term, e.est, cast(coalesce(x.exact, 0) AS BIGINT) AS exact
+FROM e LEFT JOIN x USING (term) ORDER BY term"""
+
+
 MOVAVG_WINDOW = 5  # ES default window
 EWMA_ALPHA = 0.3  # ES EwmaModel default
 HOLT_ALPHA, HOLT_BETA = 0.3, 0.1  # ES HoltLinearModel defaults
@@ -693,6 +731,7 @@ FROM m""",
     ),
     "windowed_counts": (q_windowed_counts, _windowed_counts_sql()),
     "agg_cardinality_hll": (q_cardinality_hll, _cardinality_hll_sql()),
+    "agg_terms_cms": (q_terms_cms, _terms_cms_sql()),
     "pipeline_mov_avg_ewma": (q_mov_avg_ewma, _ewma_sql()),
     "pipeline_mov_avg_holt": (q_mov_avg_holt, _holt_sql()),
     "pipeline_serial_diff": (
