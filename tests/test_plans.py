@@ -153,3 +153,40 @@ def test_bool_compound_has_no_global_sort_below_takeordered(spark, reader, monke
     assert "TakeOrderedAndProject" in p, p
     globals_sorts = re.findall(r"Sort \[[^\]]*\], true", p)
     assert not globals_sorts, (globals_sorts, p)
+
+
+def test_cms_sketch_single_scan(spark):
+    """The count-min sketch must build from ONE scan of the token
+    stream (array-explode of d hashes per token), not d scans — at
+    10^12 tokens the difference is the whole job."""
+    from go_mysql_elasticsearch_spark.pipeline.cms import sketch_df
+
+    toks = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    s = plan_of(sketch_df(toks))
+    assert s.count("Scan parquet") == 1, s
+    # and the shuffle input is pre-aggregated map-side (partial_count)
+    assert "partial_count" in s or "HashAggregate" in s, s
+
+
+def test_windowed_counts_partial_agg_before_shuffle(spark):
+    """The windowed agg must combine map-side: state/shuffle bounded by
+    (window × event_type), never by event rows."""
+    from go_mysql_elasticsearch_spark.streaming.windowed import windowed_counts
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    s = plan_of(windowed_counts(ev))
+    assert "partial_count" in s, s
+    assert s.index("partial_count") > s.index("Exchange") or "Exchange" in s[s.index("partial_count"):], s
+
+
+def test_hll_register_table_bounded(spark):
+    """HLL reduces to <= m register rows before the final aggregate:
+    the plan must show two HashAggregate pairs (register max, then the
+    scalar estimate), both with partial map-side phases."""
+    from go_mysql_elasticsearch_spark.pipeline.hll import estimate_df
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    s = plan_of(estimate_df(ev, "event_id"))
+    assert "partial_max" in s, s  # register max combines map-side
