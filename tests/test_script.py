@@ -86,3 +86,85 @@ def test_column_renderer_matches_sql(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+# --- property: renderer == reference interpreter over random trees ---------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _eval_node(node, env):
+    """Reference interpreter for the parse tree (independent of both
+    renderers)."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "field":
+        return env[node[1]]
+    if kind == "neg":
+        return -_eval_node(node[1], env)
+    if kind == "bin":
+        a, b = _eval_node(node[2], env), _eval_node(node[3], env)
+        return {
+            "+": lambda: a + b,
+            "-": lambda: a - b,
+            "*": lambda: a * b,
+            "/": lambda: float(a) / float(b),
+            "%": lambda: a % b,
+        }[node[1]]()
+    if kind == "cmp":
+        a, b = _eval_node(node[2], env), _eval_node(node[3], env)
+        return {
+            "==": a == b, "!=": a != b, ">=": a >= b,
+            "<=": a <= b, ">": a > b, "<": a < b,
+        }[node[1]]
+    if kind == "and":
+        return _eval_node(node[1], env) and _eval_node(node[2], env)
+    if kind == "or":
+        return _eval_node(node[1], env) or _eval_node(node[2], env)
+    if kind == "fn":
+        import math
+
+        args = [_eval_node(a, env) for a in node[2]]
+        return {
+            "abs": lambda x: abs(x),
+            "ln": lambda x: math.log(x),
+            "sqrt": lambda x: math.sqrt(x),
+            "floor": lambda x: math.floor(x),
+            "min": lambda x, y: min(x, y),
+            "max": lambda x, y: max(x, y),
+        }[node[1]](*args)
+    raise ValueError(node)
+
+
+_num = st.integers(min_value=1, max_value=999)
+
+
+@st.composite
+def _arith_expr(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        choice = draw(st.integers(0, 2))
+        if choice == 0:
+            return str(draw(_num))
+        if choice == 1:
+            return "doc['n_chars'].value"
+        return "doc['doc_id'].value"
+    op = draw(st.sampled_from(["+", "-", "*", "%", "/"]))
+    a = draw(_arith_expr(depth=depth + 1))
+    b = draw(_arith_expr(depth=depth + 1))
+    if op in ("%", "/"):
+        b = f"({b} + 1000)"  # keep divisors positive/nonzero
+    fn = draw(st.sampled_from([None, "abs", "floor"]))
+    e = f"({a} {op} {b})"
+    return f"{fn}({e})" if fn else e
+
+
+@settings(max_examples=60, deadline=None)
+@given(_arith_expr(), st.integers(0, 10_000), st.integers(1, 500))
+def test_duckdb_render_matches_reference_interpreter(src, doc_id, n_chars):
+    node = parse_script(src)
+    env = {"doc_id": doc_id, "n_chars": n_chars}
+    want = _eval_node(node, env)
+    fields = {"doc_id": str(doc_id), "n_chars": str(n_chars)}
+    got = duckdb.sql(f"SELECT {to_sql(node, fields)} AS v").fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-9), (src, env)
