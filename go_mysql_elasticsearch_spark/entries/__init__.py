@@ -48,6 +48,7 @@ _PRIORITY = [
     "percolate_filtered",
     "agg_cardinality_hll",
     "agg_terms_cms",
+    "text_boilerplate_ngrams",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

@@ -162,6 +162,13 @@ def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-boilerplate 5-gram spans (pipeline/textstats.py
+    boilerplate_ngrams — the C4/RefinedWeb boilerplate-removal step):
+    document frequency of n-gram spans, top candidates."""
+    return T.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal metadata plumbing over the html binary column
     (webpages-shaped input; decode kernels stubbed — pipeline/
@@ -284,5 +291,9 @@ ORDER BY a ASC, b ASC""",
     "text_quality": (q_quality, T.QUALITY_SQL),
     "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),
     "text_fingerprint": (q_fingerprint, T.FINGERPRINT_SQL),
+    "text_boilerplate_ngrams": (
+        q_boilerplate,
+        T.boilerplate_sql("regexp_extract_all(lower(text), '[a-z0-9]+')"),
+    ),
     "binary_metadata": (q_binary_meta, None),  # html column exists only engine-side
 }

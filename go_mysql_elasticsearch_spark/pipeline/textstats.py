@@ -27,6 +27,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+NGRAM_N = 5
+BOILERPLATE_TOP = 10
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = NGRAM_N, top: int = BOILERPLATE_TOP) -> DataFrame:
+    """Corpus-boilerplate detection — the C4/RefinedWeb preprocessing
+    step adapted to this data model: the n-gram SPANS shared by the
+    most documents are boilerplate candidates (headers, footers, nav
+    chrome in real webtext). Per-doc n-grams come from array slices of
+    the analyzed tokens (pure Catalyst — sequence → transform → slice,
+    no Python), deduped per doc, then one document-frequency groupBy.
+
+    Scale shape: n-gram explosion multiplies the token stream by ~n;
+    the df groupBy partial-aggregates map-side and the top-k is a
+    TakeOrdered — never a global sort of the gram space."""
+    t = tokens_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(top)
+    )
+
+
+def boilerplate_sql(tokens_sql: str, n: int = NGRAM_N, top: int = BOILERPLATE_TOP) -> str:
+    """DuckDB twin: 1-based INCLUSIVE list slices t[i:i+n-1]."""
+    return f"""WITH tk AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM tk, unnest(range(1, greatest(len(t) - {n - 2}, 1))) u(i)
+),
+df_ AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+SELECT gram, cast(df AS BIGINT) AS df FROM df_
+ORDER BY df DESC, gram ASC LIMIT {top}"""
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword / digit heuristics → [0,1] score
     (the classic webtext quality gate shape)."""
