@@ -49,6 +49,8 @@ _PRIORITY = [
     "agg_cardinality_hll",
     "agg_terms_cms",
     "text_boilerplate_ngrams",
+    "text_repetition",
+    "url_host_stats",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

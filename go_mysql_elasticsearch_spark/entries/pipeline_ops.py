@@ -169,6 +169,24 @@ def q_boilerplate(spark, sf_dir):
     return T.boilerplate_ngrams(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-doc n-gram repetition (RefinedWeb dup_ngram_frac signal,
+    pipeline/textstats.py repetition_scores) — shuffle-free per-row
+    projection."""
+    return T.repetition_scores(_docs(spark, sf_dir))
+
+
+def q_url_host_stats(spark, sf_dir):
+    """Docs per host over the webpages table (pipeline/urls.py
+    host_stats) — the crawl-budget / domain-mix view; the oracle
+    reconstructs the deterministic url from doc_id and applies the
+    same host extraction."""
+    from ..pipeline.urls import host_stats
+    from ..webpages import webpages
+
+    return host_stats(webpages(spark, sf_dir).select("url"))
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal metadata plumbing over the html binary column
     (webpages-shaped input; decode kernels stubbed — pipeline/
@@ -291,6 +309,20 @@ ORDER BY a ASC, b ASC""",
     "text_quality": (q_quality, T.QUALITY_SQL),
     "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),
     "text_fingerprint": (q_fingerprint, T.FINGERPRINT_SQL),
+    "url_host_stats": (
+        q_url_host_stats,
+        """WITH u AS (
+  SELECT 'https://site' || (doc_id % 97) || '.example/page/' || doc_id AS url
+  FROM documents
+)
+SELECT regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+       count(*) AS n_pages
+FROM u GROUP BY host ORDER BY n_pages DESC, host ASC LIMIT 10""",
+    ),
+    "text_repetition": (
+        q_repetition,
+        T.repetition_sql("regexp_extract_all(lower(text), '[a-z0-9]+')"),
+    ),
     "text_boilerplate_ngrams": (
         q_boilerplate,
         T.boilerplate_sql("regexp_extract_all(lower(text), '[a-z0-9]+')"),

@@ -70,6 +70,46 @@ SELECT gram, cast(df AS BIGINT) AS df FROM df_
 ORDER BY df DESC, gram ASC LIMIT {top}"""
 
 
+def repetition_scores(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Intra-document repetition (the RefinedWeb `dup_ngram_frac`
+    quality signal): 1 − distinct_ngrams/total_ngrams per doc — high
+    values flag spam/generated text that exact- and near-dedup both
+    miss because the doc only repeats ITSELF. Pure Catalyst array
+    arithmetic, no shuffle at all (per-row projection)."""
+    t = tokens_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    total = F.size(grams)
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(
+                total > 0,
+                1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def repetition_sql(tokens_sql: str, n: int = NGRAM_N) -> str:
+    return f"""WITH tk AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         [array_to_string(t[i:i+{n - 1}], ' ')
+          FOR i IN range(1, greatest(len(t) - {n - 2}, 1))] AS grams
+  FROM tk
+)
+SELECT doc_id, cast(len(grams) AS BIGINT) AS n_ngrams,
+       round(CASE WHEN len(grams) > 0
+             THEN 1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE
+             ELSE 0.0 END, 6) AS dup_ngram_frac
+FROM g"""
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword / digit heuristics → [0,1] score
     (the classic webtext quality gate shape)."""
