@@ -51,6 +51,7 @@ _PRIORITY = [
     "text_boilerplate_ngrams",
     "text_repetition",
     "url_host_stats",
+    "corpus_clean_stats",
     # changed semantics in round 3 (token-boundary tagging) → re-record
     "highlight",
 ]

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..pipeline import clean as C
 from ..pipeline import dedup as D
 from ..pipeline import similarity as S
 from ..pipeline import textstats as T
@@ -187,6 +188,15 @@ def q_url_host_stats(spark, sf_dir):
     return host_stats(webpages(spark, sf_dir).select("url"))
 
 
+def q_corpus_clean_stats(spark, sf_dir):
+    """The composed cleaning funnel (pipeline/clean.py): per-stage
+    rejection counts — short -> repetitive -> exact-dup -> clean."""
+    from ..pipeline.clean import clean_corpus
+
+    _, stats = clean_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
+    return stats
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal metadata plumbing over the html binary column
     (webpages-shaped input; decode kernels stubbed — pipeline/
@@ -309,6 +319,10 @@ ORDER BY a ASC, b ASC""",
     "text_quality": (q_quality, T.QUALITY_SQL),
     "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),
     "text_fingerprint": (q_fingerprint, T.FINGERPRINT_SQL),
+    "corpus_clean_stats": (
+        q_corpus_clean_stats,
+        C.clean_stats_sql("regexp_extract_all(lower(text), '[a-z0-9]+')"),
+    ),
     "url_host_stats": (
         q_url_host_stats,
         """WITH u AS (

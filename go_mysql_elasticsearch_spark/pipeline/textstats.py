@@ -31,6 +31,19 @@ NGRAM_N = 5
 BOILERPLATE_TOP = 10
 
 
+def ngrams_col(t, n: int):
+    """Array of n-gram span strings from a token array. Guarded for
+    short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]), so the
+    enumeration must collapse to an empty array when size < n."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def boilerplate_ngrams(docs: DataFrame, n: int = NGRAM_N, top: int = BOILERPLATE_TOP) -> DataFrame:
     """Corpus-boilerplate detection — the C4/RefinedWeb preprocessing
     step adapted to this data model: the n-gram SPANS shared by the
@@ -43,10 +56,7 @@ def boilerplate_ngrams(docs: DataFrame, n: int = NGRAM_N, top: int = BOILERPLATE
     the df groupBy partial-aggregates map-side and the top-k is a
     TakeOrdered — never a global sort of the gram space."""
     t = tokens_col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+    grams = ngrams_col(t, n)
     per_doc = docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
@@ -77,10 +87,7 @@ def repetition_scores(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     miss because the doc only repeats ITSELF. Pure Catalyst array
     arithmetic, no shuffle at all (per-row projection)."""
     t = tokens_col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
+    grams = ngrams_col(t, n)
     total = F.size(grams)
     return docs.select(
         "doc_id",
