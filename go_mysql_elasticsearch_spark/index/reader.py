@@ -237,7 +237,14 @@ class IndexReader:
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))
                 .withColumn("tid", F.xxhash64("term"))
             )
-            terms.write.mode("overwrite").parquet(p)
+            # range-partition + sort by term: dictionary walks (prefix/
+            # wildcard/completion) become row-group-prunable range scans
+            # — at 10^9 terms a prefix lookup touches only its lexical
+            # slice of the dictionary instead of every file. One-time
+            # cost on a lazily-built cached artifact.
+            terms.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+                "overwrite"
+            ).parquet(p)
         return self.spark.read.parquet(p)
 
     def df_lookup(self, tids: list[int]) -> dict[int, int]:

@@ -190,3 +190,12 @@ def test_hll_register_table_bounded(spark):
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     s = plan_of(estimate_df(ev, "event_id"))
     assert "partial_max" in s, s  # register max combines map-side
+
+
+def test_term_dictionary_prefix_lookup_pushes_down(spark, reader):
+    """term_strings is range-sorted by term: a prefix walk must reach
+    the parquet scan as a StartsWith pushed filter (row-group pruning
+    over the lexical slice)."""
+    df = reader.term_strings().where(F.col("term").startswith("sc"))
+    s = formatted(df)
+    assert "PushedFilters" in s and "StringStartsWith(term,sc" in s, s
