@@ -189,18 +189,31 @@ def merge_segments(
     return manifest
 
 
-def gc_superseded_segments(index_dir: str) -> list[str]:
-    """Remove segment dirs superseded by a merge (safe any time: the
-    reader already ignores them). Returns the removed paths."""
+def gc_superseded_segments(index_dir: str, retain_sec: float = 0.0) -> list[str]:
+    """Remove segment dirs superseded by a merge. Returns removed paths.
+
+    NEW readers never see superseded segments (manifest supersession),
+    but a reader OPENED BEFORE the merge may still hold the old paths
+    in a cached plan — the classic reader-lease problem Lucene solves
+    with ref-counted files and object stores solve with lifecycle
+    delay. ``retain_sec`` is that delay: dirs whose merged manifest is
+    younger than the retention window are kept, so in-flight queries
+    against the pre-merge view drain before their files disappear. Set
+    it to ≥ the cluster's max query runtime; 0 (default) is fine for
+    single-process maintenance windows."""
     import glob
     import json as _json
     import shutil
+    import time as _time
 
     root = gen_root(index_dir)
     superseded: set[str] = set()
     for mp in glob.glob(os.path.join(root, "segments", "seg=*", "manifest.json")):
         with open(mp) as f:
-            superseded.update(str(s) for s in _json.load(f).get("merged_from", []))
+            ids = _json.load(f).get("merged_from", [])
+        if ids and _time.time() - os.path.getmtime(mp) < retain_sec:
+            continue  # merge too recent: old readers may still be draining
+        superseded.update(str(s) for s in ids)
     removed = []
     for sid in superseded:
         d = os.path.join(root, "segments", f"seg={sid}")

@@ -124,3 +124,17 @@ def test_run_tiered_merges_end_to_end(spark, tmp_path):
     r = IndexReader(spark, d)
     assert len(r.manifests) == 2
     assert _hits(spark, d, ["data", "merge"]) == before
+
+
+def test_gc_retention_window_protects_draining_readers(spark, idx3):
+    """With a retention window, a just-merged tier's old dirs survive
+    GC (in-flight pre-merge readers keep their files); with the window
+    elapsed (0), they are reclaimed."""
+    merge_segments(spark, idx3, [0, 1], n_shards=2, _skip_gc=True)
+    kept = gc_superseded_segments(idx3, retain_sec=3600)
+    assert kept == []  # merge is seconds old -> nothing removed
+    import os
+
+    assert os.path.exists(os.path.join(idx3, "segments", "seg=0"))
+    removed = gc_superseded_segments(idx3, retain_sec=0)
+    assert len(removed) == 2
