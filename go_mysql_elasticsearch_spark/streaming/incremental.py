@@ -83,6 +83,7 @@ def compact(
     index_dir: str,
     n_segments: int = 1,
     n_shards: int = 8,
+    gc_old: bool = True,
     _fail_point: str | None = None,
 ) -> list[dict]:
     """Merge-to-exact: rebuild the index from live docs only, drop
@@ -127,13 +128,49 @@ def compact(
     os.replace(ptr + ".tmp", ptr)  # THE swap — one atomic rename
     if _fail_point == "after_pointer":
         raise RuntimeError("injected crash: pointer flipped, old gen not GC'd")
-    # GC the previous generation (failure here only leaks disk)
-    if cur_gen:
-        shutil.rmtree(old_root, ignore_errors=True)
-    else:
-        for sub in ("segments", "tombstones.parquet", "term_strings.parquet"):
-            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    # GC the previous generation (failure here only leaks disk).
+    # gc_old=False defers to gc_old_generations(retain_sec) so readers
+    # opened against the pre-compact view can drain first — same
+    # reader-lease reasoning as gc_superseded_segments.
+    if gc_old:
+        if cur_gen:
+            shutil.rmtree(old_root, ignore_errors=True)
+        else:
+            for sub in ("segments", "tombstones.parquet", "term_strings.parquet"):
+                shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     return manifests
+
+
+def gc_old_generations(index_dir: str, retain_sec: float = 0.0) -> list[str]:
+    """Reclaim non-live generation dirs older than the retention
+    window (the deferred half of ``compact(gc_old=False)``). The live
+    generation (named by ``index.gen``) is never touched."""
+    import glob
+    import shutil
+    import time as _time
+
+    root = gen_root(index_dir)
+    live = os.path.basename(root)
+    removed = []
+    for d in glob.glob(os.path.join(index_dir, "gen-*")):
+        if os.path.basename(d) == live or not os.path.isdir(d):
+            continue
+        if _time.time() - os.path.getmtime(d) < retain_sec:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d)
+    # pre-generation root layout left behind by the FIRST deferred
+    # compact (segments/ at index_dir itself while the pointer names a
+    # gen dir)
+    if root != index_dir:
+        old_segs = os.path.join(index_dir, "segments")
+        if os.path.isdir(old_segs) and _time.time() - os.path.getmtime(old_segs) >= retain_sec:
+            for sub in ("segments", "tombstones.parquet", "term_strings.parquet"):
+                p = os.path.join(index_dir, sub)
+                if os.path.exists(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+    return removed
 
 
 def merge_segments(

@@ -138,3 +138,26 @@ def test_gc_retention_window_protects_draining_readers(spark, idx3):
     assert os.path.exists(os.path.join(idx3, "segments", "seg=0"))
     removed = gc_superseded_segments(idx3, retain_sec=0)
     assert len(removed) == 2
+
+
+def test_compact_deferred_gc(spark, idx3):
+    """compact(gc_old=False) leaves the pre-compact view on disk for
+    draining readers; gc_old_generations reclaims it after the
+    retention window (and never touches the live generation)."""
+    import os
+
+    from go_mysql_elasticsearch_spark.streaming.incremental import (
+        compact,
+        gc_old_generations,
+    )
+
+    before = _hits(spark, idx3, ["data"])
+    compact(spark, idx3, n_segments=1, n_shards=2, gc_old=False)
+    # old root layout still present (drain window), new gen serves
+    assert os.path.isdir(os.path.join(idx3, "segments"))
+    assert _hits(spark, idx3, ["data"]) == before
+    assert gc_old_generations(idx3, retain_sec=3600) == []  # too fresh
+    removed = gc_old_generations(idx3, retain_sec=0)
+    assert removed, "old layout should be reclaimed"
+    assert not os.path.isdir(os.path.join(idx3, "segments"))
+    assert _hits(spark, idx3, ["data"]) == before  # live gen untouched
