@@ -14,7 +14,9 @@ rivers actually use):
 
     doc['field'].value            field access
     params resolved at parse time (ES Script.Params, script.go:71-75)
-    + - * / %  (numeric; / is double division)
+    + - * / %  (numeric; / is double division; % takes the DIVIDEND's
+                sign — C/Java/SQL semantics, identical in Spark, DuckDB
+                and Painless, unlike Python's divisor-sign %)
     == != >= <= > <   && ||   unary -
     abs(x) ln(x) sqrt(x) floor(x) min(x,y) max(x,y)
     numbers, 'string' literals, parentheses

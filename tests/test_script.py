@@ -104,13 +104,19 @@ def _eval_node(node, env):
     if kind == "neg":
         return -_eval_node(node[1], env)
     if kind == "bin":
+        import math
+
         a, b = _eval_node(node[2], env), _eval_node(node[3], env)
         return {
             "+": lambda: a + b,
             "-": lambda: a - b,
             "*": lambda: a * b,
             "/": lambda: float(a) / float(b),
-            "%": lambda: a % b,
+            # dividend-sign (C/Java/SQL) modulo — Python's % takes the
+            # DIVISOR's sign; both engines and Painless take the
+            # dividend's, so the reference must too (hypothesis found
+            # this on a negative dividend)
+            "%": lambda: math.fmod(a, b) if (a < 0 or b < 0) else a % b,
         }[node[1]]()
     if kind == "cmp":
         a, b = _eval_node(node[2], env), _eval_node(node[3], env)
