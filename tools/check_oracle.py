@@ -36,7 +36,8 @@ def norm_rows(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    # any number of name substrings; a query runs if it matches ANY
+    name_filters = sys.argv[2:]
     import __spark_entry__ as e
     from go_mysql_elasticsearch_spark.session import get_spark
 
@@ -49,7 +50,7 @@ def main() -> int:
     failures = []
     t_start = time.monotonic()
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filters and not any(f in name for f in name_filters):
             continue
         t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
