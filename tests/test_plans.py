@@ -199,3 +199,21 @@ def test_term_dictionary_prefix_lookup_pushes_down(spark, reader):
     df = reader.term_strings().where(F.col("term").startswith("sc"))
     s = formatted(df)
     assert "PushedFilters" in s and "StringStartsWith(term,sc" in s, s
+
+
+def test_percolate_no_cartesian(spark):
+    """Percolate's scale claim: the doc×query match is a shuffle-on-
+    term join — the plan must contain no cartesian/nested-loop
+    product even with structured constraints attached."""
+    from go_mysql_elasticsearch_spark.query.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "beta gamma", "de")],
+        "doc_id long, text string, lang string",
+    )
+    stored = spark.createDataFrame(
+        [(0, ["beta"], "or", "en", None), (1, ["alpha", "beta"], "and", None, 5)],
+        "query_id int, terms array<string>, mode string, flt_lang string, flt_min_nchars long",
+    )
+    s = plan_of(percolate(docs, stored))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
