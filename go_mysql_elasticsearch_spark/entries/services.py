@@ -28,15 +28,16 @@ MSEARCH = [(0, ["data", "merge"], "or"), (1, ["scan"], "or")]
 
 def q_msearch(spark, sf_dir):
     """msearch (msearch.go): a BATCH of independent searches answered in
-    one round trip — each sub-query runs the normal top-k path, results
-    union with a qid discriminator. On a cluster the sub-queries share
-    the postings scan cache and run as independent jobs."""
-    from ..query.wand import bm25_topk
+    one round trip — ONE pruned postings pull for the union of every
+    sub-query's terms (query/wand.py bm25_topk_batch), each sub-query
+    scored from its slice of the shared frame. An N-query msearch costs
+    one scan, not N."""
+    from ..query.wand import bm25_topk_batch
 
     r = index_for(spark, sf_dir)
+    results = bm25_topk_batch(spark, r, [(terms, mode) for _, terms, mode in MSEARCH], k=5)
     frames = []
-    for qid, terms, mode in MSEARCH:
-        hits = bm25_topk(spark, r, terms, k=5, mode=mode)
+    for (qid, _, _), hits in zip(MSEARCH, results):
         frames.append(hits.select(F.lit(qid).alias("qid"), "doc_id", "score"))
     out = frames[0]
     for f_ in frames[1:]:

@@ -328,6 +328,71 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
 DRIVER_PATH_MAX_BYTES = 16 * 1024 * 1024
 
 
+def bm25_topk_batch(
+    spark: SparkSession,
+    reader: IndexReader,
+    queries: list[tuple[str | list[str], str]],
+    k: int = 10,
+) -> list[DataFrame]:
+    """msearch economics (msearch.go): N sub-queries, ONE pruned
+    postings pull. The union of every sub-query's terms prunes a single
+    scan; each sub-query then scores from its slice of the shared
+    in-memory frame with the normal scorer. Falls back to per-query
+    ``bm25_topk`` (distributed path) when the union's byte estimate
+    exceeds the driver threshold or the delete set is large — exactly
+    the same cutover rule as a single query, applied to the batch."""
+    st = getattr(reader, "settings", {})
+    pattern = st.get("token_pattern")
+    k1, b = st.get("bm25_k1"), st.get("bm25_b")
+
+    def _analyze(q):
+        if isinstance(q, str):
+            return analyze_query(q, pattern) if pattern else analyze_query(q)
+        return list(dict.fromkeys(q))
+
+    specs = [(_analyze(q), mode) for q, mode in queries]
+    all_terms = list(dict.fromkeys(t for terms, _ in specs for t in terms))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not all_terms:
+        return [empty for _ in specs]
+    tids = term_ids(spark, all_terms)
+    dfs = reader.df_lookup(list(tids.values()))
+    big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
+    est_bytes = sum(dfs.values()) * reader.bytes_per_posting
+    if big_tombs or est_bytes > DRIVER_PATH_MAX_BYTES:
+        return [bm25_topk(spark, reader, terms, k=k, mode=m) for terms, m in specs]
+
+    n, avgdl = reader.n_docs, reader.avgdl
+    idfs = {t: _idf(n, d) for t, d in dfs.items()}
+    dead_upto = reader.tombstones_map()
+    pdf = (
+        reader.postings()
+        .where(F.col("tid").isin(list(dfs)))
+        .select(
+            "segment", "shard", "tid", "first_doc_id", "last_doc_id",
+            "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
+        )
+        .toPandas()
+    )
+    outs = []
+    for terms, mode in specs:
+        q_tids = [tids[t] for t in terms if tids.get(t) in dfs]
+        if not q_tids or (mode == "and" and len(q_tids) < len(terms)):
+            outs.append(empty)
+            continue
+        sub = pdf[pdf["tid"].isin(q_tids)]
+        scorer = _make_group_scorer(
+            idfs, avgdl, k, mode, 1, dead_upto, len(terms), False, k1, b
+        )
+        frames = [scorer(g) for _, g in sub.groupby(["segment", "shard"], sort=False)]
+        hits = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(columns=["doc_id", "raw"])
+        hits["score"] = hits["raw"].round(ROUND_DIGITS)
+        hits = hits.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        out_pdf = hits[["doc_id", "score"]].astype({"doc_id": "int64", "score": "float64"})
+        outs.append(spark.createDataFrame(out_pdf, schema="doc_id long, score double"))
+    return outs
+
+
 def bm25_topk(
     spark: SparkSession,
     reader: IndexReader,

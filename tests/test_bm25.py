@@ -239,3 +239,32 @@ def test_wand_block_max_pruning_skips_blocks(spark, tmp_path, monkeypatch):
     # hay alone spans ~63 blocks; pruning must leave most undecoded
     assert stats["blocks"] >= 40, stats
     assert stats["decoded"] < stats["blocks"] * 0.5, stats
+
+
+def test_msearch_batch_shares_one_postings_pull(spark, reader):
+    """bm25_topk_batch: results identical to per-query bm25_topk, and
+    the whole batch touches postings() exactly ONCE (msearch.go
+    economics — N sub-queries, one pruned scan)."""
+    from go_mysql_elasticsearch_spark.query.wand import bm25_topk, bm25_topk_batch
+
+    queries = [(["data", "merge"], "or"), (["dup", "scan"], "and"), (["zzznope"], "or")]
+    want = [
+        [(r["doc_id"], r["score"]) for r in bm25_topk(spark, reader, t, k=5, mode=m).collect()]
+        for t, m in queries
+    ]
+
+    calls = {"n": 0}
+    orig = reader.postings
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    reader.postings = counting
+    try:
+        got_frames = bm25_topk_batch(spark, reader, queries, k=5)
+        got = [[(r["doc_id"], r["score"]) for r in f.collect()] for f in got_frames]
+    finally:
+        reader.postings = orig
+    assert got == want
+    assert calls["n"] == 1, calls
