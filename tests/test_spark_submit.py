@@ -68,3 +68,30 @@ def test_clean_then_build_via_spark_submit(spark, tmp_path):
 
     hits = bm25_topk(spark, IndexReader(spark, idx), ["data"], k=5).collect()
     assert len(hits) == 5
+
+
+def test_query_job_via_spark_submit(spark, tmp_path):
+    """The serving twin: build once, then answer a query through a real
+    spark-submit query_job invocation, and cross-check the hits against
+    an in-process bm25_topk."""
+    idx = str(tmp_path / "qj_idx")
+    _submit(
+        "build_index_job.py",
+        "--input", f"{SF_SMALL}/documents.parquet",
+        "--index-dir", idx,
+        "--segments", "1",
+        "--shards", "2",
+    )
+    out = _submit(
+        "query_job.py", "--index-dir", idx, "--query", "data merge", "--k", "5"
+    ).strip().splitlines()[-1]
+    got = [(h["doc_id"], h["score"]) for h in json.loads(out)["hits"]]
+
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader
+    from go_mysql_elasticsearch_spark.query.wand import bm25_topk
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(spark, IndexReader(spark, idx), ["data", "merge"], k=5).collect()
+    ]
+    assert got == want
