@@ -70,6 +70,72 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def vb_decode_concat(b: np.ndarray, byte_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a CONCATENATION of varbyte streams in one vectorized pass.
+
+    Varbyte values are self-delimiting, so the concatenation of N
+    streams decodes to the concatenation of their values; ``byte_lens``
+    (each stream's byte length) recovers the per-stream value counts by
+    counting terminal bytes up to each stream boundary. This is the
+    batch fast path for query-time block decode: one numpy pass over a
+    whole (term, shard) sub-list instead of one ``vb_decode`` call per
+    128-posting block (per-call numpy overhead on tiny arrays dominated
+    the driver-path scorer at ~50 us x 30k blocks; see BENCH r4 notes).
+
+    Returns ``(values uint64, values_per_stream int64)``.
+    """
+    byte_lens = np.asarray(byte_lens, dtype=np.int64)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(byte_lens.size, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    lens = np.diff(np.concatenate(([np.int64(-1)], ends)))
+    starts = ends - lens + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for g in range(int(lens.max())):
+        mask = lens > g
+        idx = starts[mask] + g
+        vals[mask] |= (b[idx] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * g)
+    cum = np.concatenate(([0], np.cumsum(is_last, dtype=np.int64)))
+    vcounts = np.diff(np.concatenate(([0], cum[np.cumsum(byte_lens)])))
+    return vals, vcounts
+
+
+def _concat_bufs(bufs) -> tuple[np.ndarray, np.ndarray]:
+    joined = b"".join(bufs)
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    return np.frombuffer(joined, dtype=np.uint8), lens
+
+
+def unpack_blocks_batch(
+    doc_bufs, tf_bufs, dl_bufs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a whole sub-list's blocks (given in doc-sorted block
+    order) in three vectorized passes. Equivalent to concatenating
+    per-block :func:`unpack_block` outputs (property-tested).
+
+    Returns ``(doc_ids, tfs, dls, postings_per_block)``.
+    """
+    bd, ld = _concat_bufs(doc_bufs)
+    deltas, nper = vb_decode_concat(bd, ld)
+    doc_ids = delta_decode_segmented(deltas, nper)
+    tfs, _ = vb_decode_concat(*_concat_bufs(tf_bufs))
+    dls, _ = vb_decode_concat(*_concat_bufs(dl_bufs))
+    return doc_ids, tfs, dls, nper
+
+
+def unpack_positions_batch(pos_bufs, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of :func:`unpack_positions` over a whole sub-list:
+    ``pos_bufs`` in the same block order as ``tfs``'s postings (deltas
+    reset at every posting, so block boundaries need no special
+    handling). Returns (flat positions, per-posting start offsets)."""
+    bp, lp = _concat_bufs(pos_bufs)
+    deltas, _ = vb_decode_concat(bp, lp)
+    flat = delta_decode_segmented(deltas, tfs)
+    ends = np.cumsum(tfs.astype(np.int64))
+    return flat, ends - tfs.astype(np.int64)
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """Strictly-increasing int array → gaps (first value kept as-is),
     so decode is a plain cumsum."""

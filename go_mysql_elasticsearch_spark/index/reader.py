@@ -131,25 +131,26 @@ class IndexReader:
         import numpy as np
         import pandas as pd
 
-        from .codec import unpack_block
+        from .codec import unpack_blocks_batch
 
         def unpack(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
-                per_block = [
-                    unpack_block(d, t, l)
-                    for d, t, l in zip(pdf["docs_vb"], pdf["tfs_vb"], pdf["dls_vb"])
-                ]
-                counts = np.fromiter((len(b[0]) for b in per_block), dtype=np.int64)
+                # one vectorized varbyte pass per column for the whole
+                # Arrow batch (delta resets at every block, so blocks of
+                # different terms batch-decode together)
+                doc_ids, tfs, dls, counts = unpack_blocks_batch(
+                    pdf["docs_vb"].to_numpy(), pdf["tfs_vb"].to_numpy(), pdf["dls_vb"].to_numpy()
+                )
                 yield pd.DataFrame(
                     {
                         "segment": np.repeat(pdf["segment"].to_numpy(), counts),
                         "tid": np.repeat(pdf["tid"].to_numpy(), counts),
                         "shard": np.repeat(pdf["shard"].to_numpy(), counts),
-                        "doc_id": np.concatenate([b[0] for b in per_block]).astype(np.int64),
-                        "tf": np.concatenate([b[1] for b in per_block]).astype(np.int64),
-                        "dl": np.concatenate([b[2] for b in per_block]).astype(np.int64),
+                        "doc_id": doc_ids.astype(np.int64),
+                        "tf": tfs.astype(np.int64),
+                        "dl": dls.astype(np.int64),
                     }
                 )
 
@@ -166,19 +167,19 @@ class IndexReader:
         import numpy as np
         import pandas as pd
 
-        from .codec import delta_decode, vb_decode
+        from .codec import _concat_bufs, delta_decode_segmented, vb_decode_concat
 
         def unpack(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
-                per = [delta_decode(vb_decode(b)).astype(np.int64) for b in pdf["docs_vb"]]
-                counts = np.fromiter((len(x) for x in per), dtype=np.int64)
+                deltas, counts = vb_decode_concat(*_concat_bufs(pdf["docs_vb"].to_numpy()))
+                doc_ids = delta_decode_segmented(deltas, counts)
                 yield pd.DataFrame(
                     {
                         "segment": np.repeat(pdf["segment"].to_numpy(), counts),
                         "tid": np.repeat(pdf["tid"].to_numpy(), counts),
-                        "doc_id": np.concatenate(per) if per else np.empty(0, np.int64),
+                        "doc_id": doc_ids.astype(np.int64),
                     }
                 )
 

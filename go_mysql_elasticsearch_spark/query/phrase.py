@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import TOKEN_PATTERN
-from ..index.codec import unpack_block, unpack_positions
+from ..index.codec import unpack_blocks_batch, unpack_positions_batch
 from ..index.reader import IndexReader
 from .scoring import ROUND_DIGITS, idf as _idf, tfpart
 
@@ -52,19 +52,16 @@ class _TidPostings:
 
     def __init__(self, g: pd.DataFrame):
         order = np.argsort(g["first_doc_id"].to_numpy())
-        docs, tfs, dls, flats = [], [], [], []
-        gd, gt, gl, gp = (g["docs_vb"].to_numpy(), g["tfs_vb"].to_numpy(),
-                          g["dls_vb"].to_numpy(), g["pos_vb"].to_numpy())
-        for i in order:
-            d, t, l = unpack_block(gd[i], gt[i], gl[i])
-            docs.append(d.astype(np.int64))
-            tfs.append(t.astype(np.int64))
-            dls.append(l.astype(np.int64))
-            flats.append(unpack_positions(gp[i], t.astype(np.int64))[0].astype(np.int64))
-        self.docs = np.concatenate(docs)
-        self.tfs = np.concatenate(tfs)
-        self.dls = np.concatenate(dls)
-        self.pos_flat = np.concatenate(flats)
+        gd, gt, gl, gp = (g["docs_vb"].to_numpy()[order], g["tfs_vb"].to_numpy()[order],
+                          g["dls_vb"].to_numpy()[order], g["pos_vb"].to_numpy()[order])
+        # ONE vectorized varbyte pass per column over the whole
+        # sub-list (position deltas reset per posting, so block
+        # boundaries need no handling in the batch decode)
+        d, t, l, _ = unpack_blocks_batch(gd, gt, gl)
+        self.docs = d.astype(np.int64)
+        self.tfs = t.astype(np.int64)
+        self.dls = l.astype(np.int64)
+        self.pos_flat = unpack_positions_batch(gp, self.tfs)[0].astype(np.int64)
         ends = np.cumsum(self.tfs)
         self.pos_off = ends - self.tfs
 
