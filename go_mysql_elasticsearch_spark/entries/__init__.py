@@ -12,13 +12,15 @@ from __future__ import annotations
 
 # Entries the driver gate has NOT yet recorded (its budget cuts off after
 # the first 50 registry keys). They run FIRST so every operator gets hard
-# driver-side credit at least once. Round-3 rotation: everything in the
-# r1/r2 blocks is green in CORRECTNESS_r01/r02.json, so the head is now
-# the two never-recorded rows-only entries (VERDICT r2 "What's missing"
-# #1) plus every entry new this round.
+# driver-side credit at least once. Round-4 rotation: the three formerly
+# rows-only entries gained real oracles this round (VERDICT r3 #2) and
+# must re-record with err: null, followed by entries new/changed in r4,
+# then the r3 block (all green in CORRECTNESS_r03 but within budget).
 _PRIORITY = [
+    # oracles added in round 4 (were rows-only)
     "ann_ivf",
     "binary_metadata",
+    "agg_sampler",
     # new in round 3
     "function_score_random",
     "sort_mode",

@@ -142,9 +142,13 @@ def q_significant_terms(spark, sf_dir):
 
 def q_sampler_agg(spark, sf_dir):
     """sampler agg (search_aggs_bucket_sampler.go:12) — deterministic
-    sample: docs with pmod(xxhash64(doc_id), 10) = 0, then a metric."""
+    sample: docs whose md5(doc_id)-derived bucket is 0, then a metric.
+    md5 (not xxhash64) so the DuckDB oracle computes the identical
+    sample: cast(conv(substr(md5(x),1,15),16,10) as bigint) % 10."""
+    from ..pipeline.dedup import h60
+
     d = _docs(spark, sf_dir).withColumn("n_chars", F.length("text"))
-    s = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    s = d.where(F.pmod(h60(F.col("doc_id").cast("string")), F.lit(10)) == 0)
     return s.agg(
         F.count(F.lit(1)).cast("long").alias("sample_n"),
         F.round(F.avg("n_chars"), 6).alias("avg_n_chars"),
@@ -675,7 +679,9 @@ ORDER BY score DESC, term ASC LIMIT 5""",
     ),
     "agg_sampler": (
         q_sampler_agg,
-        None,  # deterministic hash-sample: xxhash64 has no DuckDB twin → rows-only
+        "SELECT count(*)::BIGINT AS sample_n, round(avg(length(text)), 6) AS avg_n_chars "
+        "FROM documents "
+        "WHERE cast(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10 = 0",
     ),
     "agg_stats": (
         q_stats_agg,

@@ -109,8 +109,9 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN over the twin-augmented embeddings: persisted
     deterministic k-means cells, probe the 2 nearest, exact-cosine
-    re-rank. Rows-only (Lloyd iterations have no tractable DuckDB
-    twin); recall and plan shape are pytest-asserted
+    re-rank. The Lloyd iterations are seedless and fixed-count, so the
+    oracle replays them in SQL (:func:`ivf_oracle_sql`); recall and
+    plan shape are additionally pytest-asserted
     (tests/test_pipeline_ops.py::test_ivf_*)."""
     import hashlib
     import os
@@ -122,6 +123,64 @@ def q_ann_ivf(spark, sf_dir):
     path = os.path.join(IDX_CACHE_ROOT, f"ivf8r3-{os.path.basename(sf_dir)}-{tag}")
     cells, cents = V.build_ivf_index(spark, _emb_aug(spark, sf_dir), path, nlist=8, iters=2)
     return V.ivf_ann_topk(_emb_aug(spark, sf_dir), cells, cents, 0, k=5, n_probe=2)
+
+
+def ivf_oracle_sql(nlist: int = 8, iters: int = 2, dim: int = 64,
+                   k: int = 5, n_probe: int = 2) -> str:
+    """DuckDB twin of the WHOLE IVF path — the k-means is seedless
+    (init = vectors of the nlist smallest md5(vec_id)) with a FIXED
+    iteration count, so Lloyd unrolls into ``iters`` assignment/mean
+    CTE pairs. Ties break exactly as numpy argmin does (lowest cell
+    id); empty cells keep their previous centroid, as
+    kmeans_deterministic does."""
+    d2 = ("list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+          " + list_dot_product(c.c, c.c)")
+    parts = [f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS c
+  FROM (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM aug
+        ORDER BY h, vec_id LIMIT {nlist})
+)"""]
+    for it in range(iters):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM aug e CROSS JOIN c{it} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""m{it} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT cell, i, avg(v[i]) AS m FROM a{it}, range(1, {dim + 1}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT p.cell, coalesce(m.c, p.c) AS c FROM c{it} p LEFT JOIN m{it} m USING (cell)
+)""")
+    final = f"c{iters}"
+    parts.append(f"""afin AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM aug e CROSS JOIN {final} c
+  ) WHERE rn = 1
+)""")
+    parts.append("q AS (SELECT v AS qv FROM aug WHERE vec_id = 0)")
+    parts.append(f"""probe AS (
+  SELECT c.cell FROM {final} c, q
+  ORDER BY list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.c)
+           + list_dot_product(c.c, c.c) ASC, c.cell ASC
+  LIMIT {n_probe}
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {_AUG_SQL},
+{body}
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM afin a JOIN probe USING (cell) CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cos DESC, a.vec_id ASC LIMIT {k}""".strip()
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -275,7 +334,7 @@ SELECT vec_id,
 FROM e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     ),
-    "ann_ivf": (q_ann_ivf, None),  # k-means has no tractable SQL twin; pytest-gated
+    "ann_ivf": (q_ann_ivf, ivf_oracle_sql(nlist=8, iters=2, dim=64, k=5, n_probe=2)),
     "ann_lsh": (
         q_ann_lsh,
         f"""WITH {_AUG_SQL},
@@ -341,5 +400,20 @@ FROM u GROUP BY host ORDER BY n_pages DESC, host ASC LIMIT 10""",
         q_boilerplate,
         T.boilerplate_sql("regexp_extract_all(lower(text), '[a-z0-9]+')"),
     ),
-    "binary_metadata": (q_binary_meta, None),  # html column exists only engine-side
+    # the html binary exists only engine-side, but it is the
+    # DETERMINISTIC wrap of documents.text (analyzer.wrap_html):
+    # 115 fixed wrapper chars + 'doc <id>' title + html-escaped body,
+    # utf-8 encoded — so the oracle reconstructs byte length and kind
+    # from text alone
+    "binary_metadata": (
+        q_binary_meta,
+        """SELECT doc_id,
+       CASE WHEN text IS NULL THEN 0 ELSE
+         115 + octet_length(encode('doc ' || doc_id::VARCHAR))
+             + octet_length(encode(replace(replace(replace(text, '&', '&amp;'),
+                                                   '<', '&lt;'), '>', '&gt;')))
+       END::BIGINT AS n_bytes,
+       CASE WHEN text IS NULL THEN 'empty' ELSE 'text/html' END AS kind
+FROM documents""",
+    ),
 }
