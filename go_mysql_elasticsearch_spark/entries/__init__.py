@@ -21,6 +21,12 @@ _PRIORITY = [
     "ann_ivf",
     "binary_metadata",
     "agg_sampler",
+    # widened to 64-bit fingerprints / 64-plane signatures in round 4
+    # (VERDICT r3 #3) → re-record with the new semantics
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_lsh",
+    "dedup_embedding_lsh",
     # new in round 3
     "function_score_random",
     "sort_mode",

@@ -44,7 +44,7 @@ def q_sim_pairs_exact(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return D.simhash32(_docs(spark, sf_dir).where(F.col("doc_id") < 50))
+    return D.simhash64(_docs(spark, sf_dir).where(F.col("doc_id") < 50))
 
 
 def q_ann_brute(spark, sf_dir):
@@ -91,8 +91,8 @@ def _sigs(spark, sf_dir):
     from ..registry import IDX_CACHE_ROOT
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(IDX_CACHE_ROOT, f"sigs16aug-{os.path.basename(sf_dir)}-{tag}")
-    return S.build_sig_index(spark, _emb_aug(spark, sf_dir), path, n_planes=16)
+    path = os.path.join(IDX_CACHE_ROOT, f"sigs64r4-{os.path.basename(sf_dir)}-{tag}")
+    return S.build_sig_index(spark, _emb_aug(spark, sf_dir), path, n_planes=64)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -101,7 +101,7 @@ def q_ann_lsh(spark, sf_dir):
     oracle computes bit-identical signatures from the same hyperplane
     constants and the same hamming-1 candidate rule."""
     return S.lsh_ann_topk(
-        _emb_aug(spark, sf_dir), query_vec_id=0, k=5, n_planes=16,
+        _emb_aug(spark, sf_dir), query_vec_id=0, k=5, n_planes=64,
         sigs=_sigs(spark, sf_dir),
     )
 
@@ -196,7 +196,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     bound: persisted signatures → band self-join (pigeonhole covers
     hamming <= 3) → hamming filter → exact cosine >= 0.5."""
     return S.cosine_near_dups_lsh(
-        _emb_aug(spark, sf_dir), threshold=0.5, n_planes=16, n_bands=4, max_hamming=3,
+        _emb_aug(spark, sf_dir), threshold=0.5, n_planes=64, n_bands=4, max_hamming=3,
         sigs=_sigs(spark, sf_dir),
     )
 
@@ -323,7 +323,7 @@ SELECT * FROM ({_JACCARD_PAIR}) ORDER BY jaccard DESC, a ASC, b ASC LIMIT 5""",
     ),
     "dedup_simhash": (
         q_dedup_simhash,
-        D.simhash32_sql(where="WHERE doc_id < 50"),
+        D.simhash64_sql(where="WHERE doc_id < 50"),
     ),
     "ann_cosine_brute": (
         q_ann_brute,
@@ -338,7 +338,7 @@ ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     "ann_lsh": (
         q_ann_lsh,
         f"""WITH {_AUG_SQL},
-s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 16)} AS sig FROM aug),
+s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 64)} AS sig FROM aug),
 q AS (SELECT sig AS qsig, v AS qv FROM s WHERE vec_id = 0)
 SELECT vec_id,
        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
@@ -349,7 +349,7 @@ ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     "dedup_embedding_lsh": (
         q_dedup_embedding_lsh,
         f"""WITH {_AUG_SQL},
-s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 16)} AS sig FROM aug),
+s AS (SELECT vec_id, v, {S.sig_sql_expr(64, 64)} AS sig FROM aug),
 cand AS (
   SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
   FROM s x JOIN s y ON x.vec_id < y.vec_id

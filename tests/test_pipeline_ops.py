@@ -41,7 +41,7 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
 
 def test_simhash_similar_docs_close(spark, docs):
     """Near-dup pairs (J>=0.9) have small simhash hamming distance."""
-    sh = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
     a = docs.select(F.col("doc_id").alias("a"))
     pairs = a.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(F.col("a") < F.col("b"))
     jac = D.shingle_jaccard(docs, pairs).collect()
@@ -50,8 +50,11 @@ def test_simhash_similar_docs_close(spark, docs):
     ham = lambda x, y: bin(x ^ y).count("1")
     near_d = [ham(sh[a_], sh[b_]) for a_, b_ in near]
     far_d = [ham(sh[a_], sh[b_]) for a_, b_ in far]
-    assert near_d and max(near_d) <= 8
-    assert np.mean(far_d) > np.mean(near_d) + 4
+    # 64-bit fingerprints: J>=0.9 pairs stay within ~1/4 of the bits,
+    # and random pairs sit near 32 — thresholds scaled from the 32-bit
+    # originals (8 and +4)
+    assert near_d and max(near_d) <= 16
+    assert np.mean(far_d) > np.mean(near_d) + 8
 
 
 def test_ann_lsh_finds_planted_neighbor(spark, emb):
@@ -156,7 +159,7 @@ def test_simhash_near_pairs_equals_brute(spark, docs):
     guarantee, not probabilistic recall)."""
     d = docs.where(F.col("doc_id") < 80)
     got = [(r["a"], r["b"], r["hamming"]) for r in D.simhash_near_pairs(d, max_hamming=3).collect()]
-    fps = {r["doc_id"]: r["simhash"] for r in D.simhash32(d).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash64(d).collect()}
     ids = sorted(fps)
     brute = sorted(
         (a, b, bin(fps[a] ^ fps[b]).count("1"))
@@ -245,3 +248,16 @@ def test_ivf_rebuild_recovers_from_missing_centroid_sidecar(spark, emb, tmp_path
     os.remove(os.path.join(path, "_centroids.json"))
     cells, cents = V.build_ivf_index(spark, emb, path, nlist=8, iters=1)
     assert len(cents) == 8 and cells.count() == emb.count()
+
+
+def test_pair_mining_band_keys_are_scale_honest():
+    """The default band keys must have >= 2^16 possible values per band
+    (VERDICT r3: narrow band keys make the band self-join quadratic
+    within buckets at corpus scale)."""
+    from go_mysql_elasticsearch_spark.pipeline import dedup as D
+    from go_mysql_elasticsearch_spark.pipeline import similarity as S
+
+    assert D.SIMHASH_BITS // D.SIMHASH_BANDS >= 16
+    assert 2 ** (D.SIMHASH_BITS // D.SIMHASH_BANDS) >= 65536
+    # embedding LSH: default planes split into 4 bands
+    assert S.DEFAULT_N_PLANES // 4 >= 16
