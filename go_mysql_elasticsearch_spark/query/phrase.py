@@ -170,6 +170,49 @@ def _make_positional_scorer(
         if surv.size == 0:
             return _EMPTY
         hit_idx = np.unique(surv >> 32)
+        if slop > 0 and len(set(chain_tids)) != len(chain_tids):
+            # Repeated phrase words: the window cover above lets ONE
+            # position satisfy two slots of the same word (Lucene's
+            # collision rule forbids that), so it is only a recall-
+            # complete prefilter here; survivors get an exact
+            # distinct-position assignment check (greedy interval
+            # matching per word — optimal because slot intervals
+            # [w+j, w+j+slop] form a staircase in j).
+            slots_by_tid: dict[int, list[int]] = {}
+            for j, t in enumerate(chain_tids):
+                slots_by_tid.setdefault(t, []).append(j)
+
+            def can_match(slots: list[int], pos: np.ndarray, w: int) -> bool:
+                ptr = 0
+                for j in slots:
+                    lo, hi = w + j, w + j + slop
+                    while ptr < pos.size and pos[ptr] < lo:
+                        ptr += 1
+                    if ptr >= pos.size or pos[ptr] > hi:
+                        return False
+                    ptr += 1
+                return True
+
+            def doc_matches(ci: int) -> bool:
+                doc = cand[ci]
+                pos_by_tid = {}
+                for t in slots_by_tid:
+                    tp = data[t]
+                    pi = int(np.searchsorted(tp.docs, doc))
+                    pos_by_tid[t] = tp.positions(pi)
+                anchors = np.unique(np.concatenate(
+                    [pos_by_tid[t] - j for t, sl in slots_by_tid.items() for j in sl]
+                ))
+                return any(
+                    all(can_match(sl, pos_by_tid[t], int(w)) for t, sl in slots_by_tid.items())
+                    for w in anchors
+                )
+
+            hit_idx = hit_idx[np.fromiter(
+                (doc_matches(int(ci)) for ci in hit_idx), dtype=bool, count=hit_idx.size
+            )]
+            if hit_idx.size == 0:
+                return _EMPTY
         hit_docs = cand[hit_idx]
 
         raw = np.zeros(hit_docs.size, dtype=np.float64)
@@ -201,11 +244,6 @@ def _positional_hits(
 
     if "pos_vb" not in reader.postings().columns:
         return None
-    if slop > 0 and len(set(chain_words)) != len(chain_words):
-        # Lucene's repeated-term sloppy matching has collision rules
-        # (one token may not satisfy two phrase offsets) the window
-        # cover below does not model; refuse rather than silently differ
-        raise NotImplementedError("sloppy phrase with repeated words is not supported")
     empty = spark.createDataFrame([], "doc_id long, raw double")
     tids_map = term_ids(spark, list(dict.fromkeys(chain_words + score_words)))
     # df lookup covers the PREFIX-expansion tids too: their postings are
@@ -382,18 +420,24 @@ ORDER BY round(raw, {ROUND_DIGITS}) DESC, doc_id ASC LIMIT {k}""".strip()
 
 def phrase_slop_oracle_sql(words: list[str], slop: int, k: int = 10) -> str:
     """DuckDB twin of sloppy match_phrase, Lucene total-budget
-    semantics: an assignment of one position per word whose
-    offset-adjusted spread max(i_j - j) - least(i_j - j) is <= slop.
-    BM25 sum over the unique words, all of which must be present."""
+    semantics: an assignment of one position per phrase SLOT whose
+    offset-adjusted spread max(i_j - j) - least(i_j - j) is <= slop;
+    slots of a repeated word must take DISTINCT positions (Lucene's
+    collision rule). BM25 sum over the unique words, all present."""
     from .scoring import ROUND_DIGITS, bm25_ctes
 
     uniq = list(dict.fromkeys(words))
-    assert len(uniq) == len(words), "sloppy oracle assumes distinct words"
     m = len(words)
     froms = ", ".join(f"unnest(range(1, len(t) + 1)) AS u{j}(i{j})" for j in range(m))
     conds = [f"t[i{j}] = '{w}'" for j, w in enumerate(words)]
     adj = ", ".join(f"i{j} - {j}" for j in range(m))
     conds += [f"greatest({adj}) - least({adj}) <= {slop}"]
+    conds += [
+        f"i{j} <> i{jj}"
+        for j in range(m)
+        for jj in range(j + 1, m)
+        if words[j] == words[jj]
+    ]
     return f"""WITH {bm25_ctes(uniq)},
 phrase_docs AS (
   SELECT DISTINCT doc_id FROM toks, {froms}

@@ -87,6 +87,10 @@ _MATCH_FIXTURES: dict[str, tuple[list[str], str]] = {
 }
 
 _PHRASE_FIXTURE = "hash join"
+# repeated-word sloppy phrase (Lucene collision rule: the two 'customer'
+# slots must bind DISTINCT positions); "customer merge customer" occurs
+# verbatim in the sf0.01 corpus, slop=2 admits nearby rearrangements
+_PHRASE_SLOP_REPEAT_FIXTURE = "customer merge customer"
 # phrase_prefix fixture: full words + trailing prefix (expands in the
 # term dictionary, first 50 in term order — Lucene's default cap)
 _PHRASE_PREFIX_FIXTURE = (["hash"], "jo")
@@ -123,11 +127,17 @@ def build_queries() -> dict:
     def _slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return match_phrase(spark, index_for(spark, sf_dir), _PHRASE_FIXTURE, k=10, slop=2)
 
+    def _slop_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return match_phrase(
+            spark, index_for(spark, sf_dir), _PHRASE_SLOP_REPEAT_FIXTURE, k=10, slop=2
+        )
+
     q = {}
     t0, m0 = _MATCH_FIXTURES["bm25_match_or2"]
     q["bm25_match_or2"] = _match_query(t0, m0)
     q["bm25_phrase_prefix"] = _pp
     q["bm25_phrase_slop"] = _slop
+    q["bm25_phrase_slop_repeat"] = _slop_repeat
     for name, (fn, _sql) in all_entries().items():
         q[name] = fn
     for name, (terms, mode) in _MATCH_FIXTURES.items():
@@ -151,6 +161,9 @@ def build_oracles() -> dict[str, str]:
 
     o["bm25_phrase_prefix"] = phrase_prefix_oracle_sql(*_PHRASE_PREFIX_FIXTURE, k=10)
     o["bm25_phrase_slop"] = phrase_slop_oracle_sql(pw, slop=2, k=10)
+    o["bm25_phrase_slop_repeat"] = phrase_slop_oracle_sql(
+        phrase_words(_PHRASE_SLOP_REPEAT_FIXTURE), slop=2, k=10
+    )
     for name, (_fn, sql) in all_entries().items():
         if sql is not None:
             o[name] = sql

@@ -186,9 +186,22 @@ def test_phrase_slop_total_budget_three_words(spark, tmp_path):
     assert got(4) == {0, 1, 2}    # full reversal 'cc bb aa' spreads 4
 
 
-def test_phrase_slop_repeated_words_refused(spark, reader):
-    with pytest.raises(NotImplementedError, match="repeated words"):
-        match_phrase(spark, reader, "data data", k=10, slop=1).collect()
+def test_phrase_slop_adjacent_repeat(spark, reader):
+    """'data data' at slop>0 needs two distinct 'data' positions (was a
+    NotImplementedError before round 4); every hit really contains
+    'data' at least twice."""
+    from go_mysql_elasticsearch_spark.analyzer import tokens_col
+
+    hits = {r["doc_id"] for r in match_phrase(spark, reader, "data data", k=10**6, slop=1).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    twice = {
+        r["doc_id"]
+        for r in docs.select("doc_id", tokens_col("text").alias("t"))
+        .where(F.expr("size(filter(t, x -> x = 'data')) >= 2"))
+        .collect()
+    }
+    assert hits <= twice
+    assert hits, "corpus should contain some doc with 'data' twice within slop 1"
 
 
 def test_phrase_prefix_single_token_degrades_to_prefix_query(spark, reader):
@@ -268,3 +281,29 @@ def test_msearch_batch_shares_one_postings_pull(spark, reader):
         reader.postings = orig
     assert got == want
     assert calls["n"] == 1, calls
+
+
+def test_phrase_slop_repeated_words_collision_rule(spark, tmp_path):
+    """Lucene collision rule: slots of a repeated word must bind
+    DISTINCT positions — one 'cu' token may not satisfy both 'cu'
+    slots of 'cu mg cu'."""
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader as IR
+
+    rows = [
+        (0, "cu mg cu"),           # exact
+        (1, "cu mg"),              # window cover w/o collision rule would
+                                   # accept (pos 0 serving both cu slots)
+        (2, "cu cu mg"),           # valid rearrangement within slop 2
+        (3, "cu mg xx cu"),        # one extra gap — spread 1
+        (4, "mg cu"),              # only one cu — must not match
+        (5, "cu xx xx xx mg xx xx cu"),  # spread beyond slop 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sloprep")
+    build_index(spark, docs, idx, n_segments=1, n_shards=2)
+    r = IR(spark, idx)
+    got = lambda s: {x["doc_id"] for x in match_phrase(spark, r, "cu mg cu", k=100, slop=s).collect()}
+    assert got(0) == {0}
+    assert got(2) == {0, 2, 3}
+    assert got(6) == {0, 2, 3, 5}
