@@ -23,7 +23,7 @@ def _docstore(spark, sf_dir):
 
 # --- msearch ---------------------------------------------------------------
 
-MSEARCH = [(0, ["data", "merge"], "or"), (1, ["scan"], "or")]
+MSEARCH = [(0, ["data", "merge"], "or"), (1, ["scan"], "or"), (2, ["dup", "scan"], "and")]
 
 
 def q_msearch(spark, sf_dir):
@@ -48,12 +48,16 @@ def q_msearch(spark, sf_dir):
 def _msearch_sql() -> str:
     all_terms = sorted({t for _, ts, _ in MSEARCH for t in ts})
     subs = []
-    for qid, terms, _mode in MSEARCH:
+    for qid, terms, mode in MSEARCH:
         in_list = ", ".join(f"'{t}'" for t in terms)
+        if mode == "and":  # every term must be present (ADVICE r3)
+            having = f"count(DISTINCT term) FILTER (WHERE term IN ({in_list})) = {len(set(terms))}"
+        else:
+            having = f"sum(s) FILTER (WHERE term IN ({in_list})) IS NOT NULL"
         subs.append(
             f"(SELECT {qid} AS qid, doc_id, round(sum(s) FILTER (WHERE term IN ({in_list})), {_R}) AS score\n"
             f" FROM persc GROUP BY doc_id\n"
-            f" HAVING sum(s) FILTER (WHERE term IN ({in_list})) IS NOT NULL\n"
+            f" HAVING {having}\n"
             f" ORDER BY score DESC, doc_id ASC LIMIT 5)"
         )
     union = "\nUNION ALL\n".join(subs)

@@ -30,12 +30,19 @@ class IndexReader:
         self._tomb_cache: dict[int, int] | None = None
         self._tomb_count: int | None = None
         # per-index analyzer/scoring settings (K5 parity); defaults if
-        # the index predates settings persistence
-        sp = os.path.join(index_dir, "settings.json")
-        if os.path.exists(sp):
-            with open(sp) as f:
-                self.settings = json.load(f)
-        else:
+        # the index predates settings persistence. The GENERATION
+        # root's copy wins — it is written by the same build that
+        # produced this generation's postings, so reader-side analysis
+        # and the packed postings can never disagree (the top-level
+        # copy can go stale across a compact)
+        self.settings = None
+        for sp in (os.path.join(self.root, "settings.json"),
+                   os.path.join(index_dir, "settings.json")):
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    self.settings = json.load(f)
+                break
+        if self.settings is None:
             from .build import DEFAULT_SETTINGS
 
             self.settings = dict(DEFAULT_SETTINGS)

@@ -60,7 +60,12 @@ def percolate(docs: DataFrame, stored: DataFrame) -> DataFrame:
         )
         out = out.join(attrs, "doc_id")
         if "flt_lang" in flt_cols:
-            out = out.where(F.col("flt_lang").isNull() | (F.col("flt_lang") == F.col("lang")))
+            # docs without a lang column: the constraint is
+            # unsatisfiable (NULL lang ≠ any required value), matching
+            # the NULL-comparison semantics a real lang column with
+            # NULL rows would give — not an AnalysisException (ADVICE r3)
+            lang_col = F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
+            out = out.where(F.col("flt_lang").isNull() | (F.col("flt_lang") == lang_col))
         if "flt_min_nchars" in flt_cols:
             out = out.where(
                 F.col("flt_min_nchars").isNull()

@@ -115,7 +115,14 @@ def compact(
     # build the next generation OFF to the side, never over live dirs
     tmp = os.path.join(index_dir, f".building-{new_gen}")
     shutil.rmtree(tmp, ignore_errors=True)
-    manifests = build_index(spark, live, tmp, n_segments=n_segments, n_shards=n_shards)
+    # carry the reader's EFFECTIVE settings into the new generation —
+    # otherwise live docs would be re-tokenized/scored with defaults
+    # while query-time analysis keeps using the custom analyzer
+    # (write_settings' "analyzer must never change silently" contract)
+    manifests = build_index(
+        spark, live, tmp, n_segments=n_segments, n_shards=n_shards,
+        settings=reader.settings,
+    )
     live.unpersist()
     gen_dir = os.path.join(index_dir, new_gen)
     shutil.rmtree(gen_dir, ignore_errors=True)  # stale from a prior crash
@@ -220,6 +227,7 @@ def merge_segments(
         segment_id=new_seg,
         n_shards=n_shards,
         extra_manifest={"merged_from": ids},
+        settings=reader.settings,  # merged docs keep the index's analyzer
     )
     if not _skip_gc:
         gc_superseded_segments(index_dir)
@@ -316,16 +324,28 @@ def update_by_query(
     fields = spark_fields()
     for fname, node in assigns:
         docs = docs.withColumn(fname, to_column(node, fields))
-    changes = docs.select(
+    projected = docs.select(
         F.lit("update").alias("action"), *[c for c in DOC_COLS if c in docs.columns]
-    ).cache()
+    )
+    # DURABLY materialize the projected changes before apply_changes
+    # appends tombstones for these doc_ids: a cache()d frame whose
+    # partitions are evicted/lost would RECOMPUTE from the docstore —
+    # which by then is tombstone-filtered — and silently drop the
+    # updated docs (ADVICE r3). A written parquet has no lineage back
+    # to the docstore, so fault recovery re-reads bytes, not the plan.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ubq_changes_")
     try:
+        projected.write.mode("overwrite").parquet(tmp)
+        changes = spark.read.parquet(tmp)
         n = changes.count()
         if n:
             apply_changes(spark, index_dir, changes, n_shards=n_shards)
         return n
     finally:
-        changes.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def reindex(

@@ -127,3 +127,47 @@ def test_load_table_resolves_path_and_catalog_name(spark, tmp_path):
     by_name = load_table(spark, "lt_view")
     assert sorted(r["doc_id"] for r in by_name.collect()) == [1, 2]
     assert by_name.schema == by_path.schema
+
+
+def test_settings_survive_compact_and_merge(spark, tmp_path):
+    """ADVICE r3: compact()/merge_segments must rebuild live docs with
+    the index's EFFECTIVE settings — not defaults — so query-time
+    analysis and the compacted postings can never disagree. Rank
+    identity under the custom analyzer must hold across a compact."""
+    from go_mysql_elasticsearch_spark.streaming.incremental import (
+        compact,
+        merge_segments,
+    )
+
+    idx = str(tmp_path / "cust_compact_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    custom = {"token_pattern": "[a-z]+", "bm25_k1": 0.9, "bm25_b": 0.4}
+    build_index(spark, docs, idx, n_segments=1, n_shards=2, settings=custom)
+    before = [
+        (x["doc_id"], x["score"])
+        for x in bm25_topk(spark, IndexReader(spark, idx), "data merge", k=10).collect()
+    ]
+    compact(spark, idx, n_segments=1, n_shards=2)
+    r = IndexReader(spark, idx)
+    assert r.settings["token_pattern"] == "[a-z]+"
+    assert r.settings["bm25_k1"] == 0.9
+    after = [
+        (x["doc_id"], x["score"])
+        for x in bm25_topk(spark, r, "data merge", k=10).collect()
+    ]
+    assert before == after
+
+    # merged segments inherit the analyzer too
+    from go_mysql_elasticsearch_spark.index.build import gen_root
+
+    build_segment(
+        spark, docs.limit(20).withColumn("doc_id", F.col("doc_id") + 10**6),
+        gen_root(idx), segment_id=7, n_shards=2,
+    )
+    build_segment(
+        spark, docs.limit(20).withColumn("doc_id", F.col("doc_id") + 2 * 10**6),
+        gen_root(idx), segment_id=8, n_shards=2,
+    )
+    merge_segments(spark, idx, [7, 8], n_shards=2)
+    r2 = IndexReader(spark, idx)
+    assert r2.settings["bm25_k1"] == 0.9

@@ -104,3 +104,25 @@ def test_reindex_with_transform_script(spark, idx, tmp_path):
     assert total == IndexReader(spark, idx).docstore().count()
     assert dstr.docstore().where(F.col("lang") == "re").count() == total
     assert IndexReader(spark, idx).docstore().where(F.col("lang") == "re").count() == 0
+
+
+def test_percolate_filtered_without_lang_column(spark):
+    """ADVICE r3: a lang-constrained stored query over docs lacking a
+    lang column treats the constraint as unmatchable, not an
+    AnalysisException."""
+    from go_mysql_elasticsearch_spark.query.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha only here")], "doc_id long, text string"
+    )
+    stored = spark.createDataFrame(
+        [
+            (10, ["alpha"], "or", "de", None),
+            (11, ["alpha"], "or", None, None),
+        ],
+        "query_id long, terms array<string>, mode string, flt_lang string, flt_min_nchars int",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(docs, stored).collect()}
+    # query 10 requires lang='de' — unmatchable without a lang column;
+    # query 11 is unconstrained and matches both docs
+    assert got == {(0, 11), (1, 11)}
