@@ -352,6 +352,29 @@ def build_segment(
     # use from block metadata (no third job in the build's hot path).
     term_count = int(pack_obs.get["term_count"])
     _mark("postings")
+
+    # Job 3 — per-segment term dictionary (term, tid, df), VERDICT r3
+    # #5: emitted AT BUILD TIME so dictionary-walking ops (prefix/
+    # wildcard/fuzzy/suggest) never re-tokenize the docstore at query
+    # time, and incremental segments carry their own dictionaries (the
+    # old root-level lazy cache went stale when new segments landed).
+    # This re-runs the regex tokenize (same tradeoff as job 2: caching
+    # token arrays costs more than recomputing them), but the agg's
+    # map-side combine reduces each partition to its distinct terms, so
+    # the shuffle is dictionary-sized, not corpus-sized. Range-sorted
+    # by term → prefix walks prune row groups. df is the segment-build-
+    # time count (Lucene semantics: later deletes don't decrement df
+    # until the segment merges away).
+    term_dict = (
+        base.select(F.explode(F.array_distinct("_toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("tid", F.xxhash64("term"))
+    )
+    term_dict.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(seg, "term_dict.parquet"))
+    _mark("term_dict")
     nbytes = sum(
         os.path.getsize(os.path.join(r, fn))
         for r, _, fns in os.walk(seg)

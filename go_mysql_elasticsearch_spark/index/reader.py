@@ -227,16 +227,40 @@ class IndexReader:
         return self._dict_df
 
     def term_strings(self) -> DataFrame:
-        """(term, tid, df) — the string-keyed term dictionary, built
-        lazily (only dictionary-walking ops need it: prefix/wildcard/
-        regexp/fuzzy/suggest — reference surface §2.4) and cached as
-        parquet beside the segments.
-        """
+        """(term, tid, df) — the string-keyed term dictionary for
+        dictionary-walking ops (prefix/wildcard/regexp/fuzzy/suggest —
+        reference surface §2.4).
+
+        Primary path (VERDICT r3 #5): every segment built since v5
+        ships a build-time ``term_dict.parquet`` side-output, so the
+        dictionary is the UNION of per-segment dicts merged by term —
+        no corpus re-tokenize, and the per-segment scans stay range-
+        sorted so a prefix filter pushes into each scan before the
+        merge agg (plan-asserted). df sums per-segment build-time
+        counts — Lucene semantics: tombstoned docs keep counting until
+        their segment merges away.
+
+        Fallback for pre-v5 segments: derive from the docstore (one
+        re-tokenize pass) and cache beside the segments, keyed by the
+        live segment set so the cache can never serve a stale
+        dictionary after an incremental segment lands."""
+        import hashlib as _hl
         import os as _os
 
         from ..analyzer import tokens_col
 
-        p = _os.path.join(self.root, "term_strings.parquet")
+        paths = [p for _sid, p in self._seg_paths("term_dict.parquet")]
+        if paths and all(_os.path.exists(_os.path.join(p, "_SUCCESS")) for p in paths):
+            per_seg = None
+            for p in paths:
+                d = self.spark.read.parquet(p)
+                per_seg = d if per_seg is None else per_seg.unionByName(d)
+            return per_seg.groupBy("term").agg(
+                F.sum("df").cast("long").alias("df"), F.first("tid").alias("tid")
+            ).select("term", "tid", "df")
+        seg_key = ",".join(sorted(str(m["segment_id"]) for m in self.manifests))
+        tag = _hl.sha1(seg_key.encode()).hexdigest()[:10]
+        p = _os.path.join(self.root, f"term_strings-{tag}.parquet")
         if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
             terms = (
                 self.docstore()
@@ -245,11 +269,6 @@ class IndexReader:
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))
                 .withColumn("tid", F.xxhash64("term"))
             )
-            # range-partition + sort by term: dictionary walks (prefix/
-            # wildcard/completion) become row-group-prunable range scans
-            # — at 10^9 terms a prefix lookup touches only its lexical
-            # slice of the dictionary instead of every file. One-time
-            # cost on a lazily-built cached artifact.
             terms.repartitionByRange("term").sortWithinPartitions("term").write.mode(
                 "overwrite"
             ).parquet(p)
