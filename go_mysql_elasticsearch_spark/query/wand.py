@@ -328,6 +328,89 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
 DRIVER_PATH_MAX_BYTES = 16 * 1024 * 1024
 
 
+def _bm25_topk_batch_distributed(
+    spark: SparkSession,
+    reader: IndexReader,
+    specs: list[tuple[list[str], str]],
+    tids: dict[str, int],
+    dfs: dict[int, int],
+    k: int,
+    k1: float | None,
+    b: float | None,
+) -> list[DataFrame]:
+    """Distributed msearch: ONE shard-parallel job scores EVERY
+    sub-query — the matched-postings frame (pruned by the union of all
+    sub-query tids) is shuffled once by (segment, shard), and the group
+    scorer runs each sub-query against its slice of the group, tagging
+    hits with ``qid``. The scored frame (≤ n_queries × k rows per
+    group) is cached; each returned DataFrame is a qid filter + global
+    top-k over it, so collecting all N results costs one postings scan
+    total (plan-asserted: tests/test_plans.py::test_msearch_distributed
+    _single_postings_scan)."""
+    n, avgdl = reader.n_docs, reader.avgdl
+    idfs = {t: _idf(n, d) for t, d in dfs.items()}
+    big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
+    dead_upto = {} if big_tombs else reader.tombstones_map()
+    empty = spark.createDataFrame([], "doc_id long, score double")
+
+    per_spec = []  # (qid, q_tids, mode, n_terms) — only specs that can hit
+    results: list[DataFrame | None] = []
+    for qid, (terms, mode) in enumerate(specs):
+        q_tids = [tids[t] for t in terms if tids.get(t) in dfs]
+        if not q_tids or (mode == "and" and len(q_tids) < len(terms)):
+            results.append(empty)
+        else:
+            per_spec.append((qid, q_tids, mode, len(terms)))
+            results.append(None)
+    if not per_spec:
+        return results
+
+    scorers = {
+        qid: _make_group_scorer(idfs, avgdl, k, mode, 1, dead_upto, n_terms, False, k1, b)
+        for qid, _q, mode, n_terms in per_spec
+    }
+    spec_tids = {qid: set(q) for qid, q, _m, _n in per_spec}
+
+    def batch_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        sent = pdf["tid"].to_numpy() == -1
+        frames = []
+        for qid, q_tids, _mode, _nt in per_spec:
+            sub = pdf[pdf["tid"].isin(spec_tids[qid]) | sent]
+            if not len(sub):
+                continue
+            out = scorers[qid](sub)
+            if len(out):
+                out = out.copy()
+                out.insert(0, "qid", np.int32(qid))
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({"qid": pd.Series(dtype="int32"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "raw": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    matched = reader.postings().where(
+        F.col("tid").isin([t for s in spec_tids.values() for t in s])
+    ).select(
+        "segment", "shard", "tid", "first_doc_id", "last_doc_id",
+        "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
+    )
+    if big_tombs:
+        matched = matched.unionByName(reader.dead_sentinel_rows(), allowMissingColumns=True)
+    scored = matched.groupBy("segment", "shard").applyInPandas(
+        batch_score, schema="qid int, doc_id long, raw double"
+    ).persist()
+    for i, r in enumerate(results):
+        if r is None:
+            results[i] = (
+                scored.where(F.col("qid") == i)
+                .select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+    return results
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     reader: IndexReader,
@@ -360,7 +443,11 @@ def bm25_topk_batch(
     big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
     est_bytes = sum(dfs.values()) * reader.bytes_per_posting
     if big_tombs or est_bytes > DRIVER_PATH_MAX_BYTES:
-        return [bm25_topk(spark, reader, terms, k=k, mode=m) for terms, m in specs]
+        # distributed batch path (VERDICT r3 #6): still ONE pruned pull
+        # — qid is threaded through the shard-group scorer, so an
+        # over-threshold msearch keeps its one-scan economics instead
+        # of degrading to N independent postings Exchanges
+        return _bm25_topk_batch_distributed(spark, reader, specs, tids, dfs, k, k1, b)
 
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}

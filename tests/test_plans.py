@@ -249,3 +249,38 @@ def test_term_dictionary_fresh_after_incremental_segment(spark, tmp_path):
     r2 = IR(spark, idx)
     got = {x["term"] for x in r2.term_strings().where(F.col("term").startswith("z")).collect()}
     assert got == {"zebra", "zone"}
+
+
+def test_msearch_distributed_single_postings_scan(spark, reader, monkeypatch):
+    """VERDICT r3 #6: an over-threshold msearch batch must keep the
+    one-scan property — the distributed batch frame reads postings
+    through a SINGLE scan (qid threaded through the shard shuffle),
+    not one Exchange per sub-query."""
+    from go_mysql_elasticsearch_spark.query import wand as W
+
+    monkeypatch.setattr(W, "DRIVER_PATH_MAX_BYTES", 0)  # force distributed
+    outs = W.bm25_topk_batch(
+        spark, reader, [(["data", "merge"], "or"), (["scan"], "or")], k=5
+    )
+    for df in outs:
+        s = formatted(df)
+        assert s.count("postings.parquet") <= 1, s
+
+
+def test_msearch_distributed_matches_driver_path(spark, reader, monkeypatch):
+    """Batch results are identical on both sides of the cutover."""
+    from go_mysql_elasticsearch_spark.query import wand as W
+
+    queries = [(["data", "merge"], "or"), (["scan"], "or"), (["dup", "scan"], "and"),
+               (["zzmissingterm"], "or")]
+    driver = [
+        [(r["doc_id"], r["score"]) for r in df.collect()]
+        for df in W.bm25_topk_batch(spark, reader, queries, k=5)
+    ]
+    monkeypatch.setattr(W, "DRIVER_PATH_MAX_BYTES", 0)
+    dist = [
+        [(r["doc_id"], r["score"]) for r in df.collect()]
+        for df in W.bm25_topk_batch(spark, reader, queries, k=5)
+    ]
+    assert driver == dist
+    assert any(driver)  # non-trivial fixture
