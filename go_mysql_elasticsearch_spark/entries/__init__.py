@@ -27,6 +27,13 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "ann_lsh",
     "dedup_embedding_lsh",
+    # new in round 4
+    "mtermvectors",
+    # re-wired to the rowdoc-extracted _parent field in round 4
+    # (VERDICT r3 #8) → re-record over the parent-routed fixture index
+    "has_child",
+    "has_parent",
+    "inner_hits",
     # new in round 3
     "function_score_random",
     "sort_mode",
@@ -43,7 +50,6 @@ _PRIORITY = [
     "termvectors",
     "field_stats",
     "template_query",
-    "inner_hits",
     "suggest_completion_fuzzy",
     "raw_dsl_query",
     "script_query",

@@ -51,17 +51,25 @@ def q_not(spark, sf_dir):
     return A.topk(spark, index_for(spark, sf_dir), q, k=10)
 
 
-def _with_parent(docs):
-    return docs.withColumn("parent_id", F.col("doc_id") % 10)
+def _children(r):
+    """Child docs from the parent-routed fixture index: ``_parent`` was
+    extracted by the rowdoc conversion rule (T11) at index time and is
+    READ FROM THE DOCSTORE here — the end-to-end parent-routing path
+    (config/rule.go:85-95), not a query-time re-derivation."""
+    d = r.docstore()
+    return d.where(F.col("_parent").isNotNull()).withColumn(
+        "parent_id", F.col("_parent").cast("long")
+    )
 
 
 def q_has_child(spark, sf_dir):
     """has_child (search_queries_has_child.go:12): parent docs with ≥1
     child matching term 'dup' — semi-join child→parent key."""
-    r = index_for(spark, sf_dir)
-    children = _with_parent(r.docstore()).where(F.col("doc_id") >= 10)
-    matching = children.where(F.array_contains(tokens_col("text"), "dup")).select("parent_id")
-    parents = r.docstore().where(F.col("doc_id") < 10).select("doc_id", "lang")
+    from ..registry import parent_index_for
+
+    r = parent_index_for(spark, sf_dir)
+    matching = _children(r).where(F.array_contains(tokens_col("text"), "dup")).select("parent_id")
+    parents = r.docstore().where(F.col("_parent").isNull()).select("doc_id", "lang")
     return parents.join(
         F.broadcast(matching.distinct()),
         parents["doc_id"] == matching["parent_id"],
@@ -72,13 +80,14 @@ def q_has_child(spark, sf_dir):
 def q_has_parent(spark, sf_dir):
     """has_parent (search_queries_has_parent.go:15): child docs whose
     parent doc has lang='de'."""
-    r = index_for(spark, sf_dir)
+    from ..registry import parent_index_for
+
+    r = parent_index_for(spark, sf_dir)
     parents = (
-        r.docstore().where((F.col("doc_id") < 10) & (F.col("lang") == "de"))
+        r.docstore().where(F.col("_parent").isNull() & (F.col("lang") == "de"))
         .select(F.col("doc_id").alias("parent_id"))
     )
-    children = _with_parent(r.docstore()).where(F.col("doc_id") >= 10)
-    return children.join(F.broadcast(parents), "parent_id", "left_semi").select(
+    return _children(r).join(F.broadcast(parents), "parent_id", "left_semi").select(
         "doc_id", "parent_id"
     )
 

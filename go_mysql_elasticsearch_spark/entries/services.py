@@ -99,6 +99,36 @@ SELECT term, count(*) AS tf,
 FROM tv GROUP BY term ORDER BY term"""
 
 
+# mtermvectors (mtermvectors.go): the multi-doc variant — same per-doc
+# aggregation over doc_id IN (...), grouped by (doc_id, term)
+MTV_DOCS = [7, 42, 99]
+
+
+def q_mtermvectors(spark, sf_dir):
+    """mtermvectors (mtermvectors.go): termvectors for a BATCH of ids in
+    one round trip — one pruned docstore scan, per-(doc, term) groups."""
+    d = _docstore(spark, sf_dir).where(F.col("doc_id").isin(MTV_DOCS))
+    toks = d.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "term"))
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+_MTV_SQL = f"""WITH tv AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term,
+         generate_subscripts({duckdb_tokens_sql('text')}, 1) - 1 AS pos
+  FROM documents WHERE doc_id IN ({', '.join(str(d) for d in MTV_DOCS)})
+)
+SELECT doc_id, term, count(*) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM tv GROUP BY doc_id, term ORDER BY doc_id, term"""
+
+
 # --- field_stats -----------------------------------------------------------
 
 def q_field_stats(spark, sf_dir):
@@ -165,14 +195,18 @@ def q_inner_hits(spark, sf_dir):
     """inner hits (inner_hit.go:16): a has_child query that also
     RETURNS the best matching child per parent — the parent hit plus
     its top inner hit in one frame (window row_number per parent,
-    ordered by child tf desc)."""
+    ordered by child tf desc). Children come from the parent-routed
+    fixture index whose docstore carries the rowdoc-extracted
+    ``_parent`` field (T11) — not a query-time synthetic key."""
     from pyspark.sql import Window
 
-    r = index_for(spark, sf_dir)
+    from ..registry import parent_index_for
+
+    r = parent_index_for(spark, sf_dir)
     d = r.docstore()
     children = (
-        d.where(F.col("doc_id") >= 10)
-        .withColumn("parent_id", F.col("doc_id") % 10)
+        d.where(F.col("_parent").isNotNull())
+        .withColumn("parent_id", F.col("_parent").cast("long"))
         .select(
             "parent_id",
             F.col("doc_id").alias("child_id"),
@@ -439,6 +473,7 @@ def _template_oracle() -> str:
 ENTRIES = {
     "msearch": (q_msearch, _msearch_sql()),
     "termvectors": (q_termvectors, _TV_SQL),
+    "mtermvectors": (q_mtermvectors, _MTV_SQL),
     "field_stats": (q_field_stats, _FIELD_STATS_SQL),
     "template_query": (q_template_query, None),  # filled lazily below
     "inner_hits": (q_inner_hits, _INNER_HITS_SQL),

@@ -276,7 +276,7 @@ def build_segment(
     target_parts = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < max(2, target_parts // 2):
         docs = docs.repartition(target_parts)
-    passthrough = [c for c in ("url", "warc_ts", "lang", "text") if c in docs.columns]
+    passthrough = [c for c in ("url", "warc_ts", "lang", "text", "_parent") if c in docs.columns]
     base = docs.select(
         "doc_id", *passthrough, tokens_col("text", pattern=token_pattern).alias("_toks")
     ).withColumn("dl", F.size("_toks"))

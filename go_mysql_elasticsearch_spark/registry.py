@@ -73,6 +73,44 @@ def url_index_for(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> IndexR
     return _URL_READERS[key]
 
 
+_PARENT_READERS: dict[str, IndexReader] = {}
+
+
+def parent_index_for(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> IndexReader:
+    """Parent/child fixture index built through the REAL rowdoc path
+    (T11, config/rule.go:85-95): child rows (doc_id >= 10) run through
+    ``convert_rows`` with ``parent_col`` set, so ``_parent`` is
+    extracted by the conversion rule and carried by the docstore
+    end-to-end — has_child / has_parent / inner_hits query it from
+    storage instead of re-deriving it. Parent docs (doc_id < 10) are
+    indexed without a parent. The FK column is doc_id % 10, so the
+    DuckDB oracles compute identical routing."""
+    from .sources.rowdoc import Rule, convert_rows
+
+    key = os.path.abspath(sf_dir)
+    if key in _PARENT_READERS:
+        return _PARENT_READERS[key]
+    tag = hashlib.sha1(f"{key}|parent|v{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(IDX_CACHE_ROOT, f"parent-{os.path.basename(key)}-{tag}")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    kids_src = base.where(F.col("doc_id") >= 10).withColumn(
+        "pid", (F.col("doc_id") % 10).cast("long")
+    )
+    rule = Rule(pk_cols=["doc_id"], parent_col="pid")
+    kids = convert_rows(kids_src, rule).select(
+        F.col("doc_id"), F.col("_parent"), "text", "lang"
+    )
+    parents = base.where(F.col("doc_id") < 10).withColumn(
+        "_parent", F.lit(None).cast("string")
+    )
+    build_index(
+        spark, kids.unionByName(parents.select(*kids.columns)), idx_dir,
+        n_segments=1, n_shards=n_shards,
+    )
+    _PARENT_READERS[key] = IndexReader(spark, idx_dir)
+    return _PARENT_READERS[key]
+
+
 # ---------------------------------------------------------------------------
 # BM25 match-query fixtures (head / rare / OR / AND / phrase / zero-hit)
 # ---------------------------------------------------------------------------
