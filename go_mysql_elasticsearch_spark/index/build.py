@@ -371,9 +371,22 @@ def build_segment(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .withColumn("tid", F.xxhash64("term"))
     )
-    term_dict.repartitionByRange("term").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(seg, "term_dict.parquet"))
+    # Layout: sorted-by-term parquet for row-group pruning. Partition
+    # count is sized from the exact packer term count — below ~2M terms
+    # ONE sorted file via coalesce (repartitionByRange would add a
+    # range-SAMPLING pass that re-evaluates the whole tokenize+agg,
+    # doubling job 3); big dictionaries take the range shuffle, whose
+    # sampling cost is then amortized over real volume.
+    dict_parts = max(1, term_count // 2_000_000)
+    laid_out = (
+        # repartition(1), not coalesce(1): coalesce would collapse the
+        # agg's reduce side to one task; this keeps the agg parallel
+        # and only the dictionary-sized result funnels to one sorter
+        term_dict.repartition(1).sortWithinPartitions("term")
+        if dict_parts == 1
+        else term_dict.repartitionByRange(dict_parts, "term").sortWithinPartitions("term")
+    )
+    laid_out.write.mode("overwrite").parquet(os.path.join(seg, "term_dict.parquet"))
     _mark("term_dict")
     nbytes = sum(
         os.path.getsize(os.path.join(r, fn))
