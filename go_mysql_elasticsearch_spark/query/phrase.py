@@ -235,6 +235,7 @@ def _positional_hits(
     score_words: list[str],
     prefix_tids: list[int] | None = None,
     slop: int = 0,
+    topk: int | None = None,
 ) -> DataFrame | None:
     """Shared engine: DataFrame(doc_id, raw) of docs matching the chain
     (+optional prefix continuation), scored over score_words. Returns
@@ -277,6 +278,16 @@ def _positional_hits(
         pdf = matched.toPandas()
         frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
         hits = pd.concat(frames, ignore_index=True) if frames else _EMPTY
+        if topk is not None and len(hits) > topk:
+            # prune to the top-k raw band BEFORE shipping rows back into
+            # Spark (a head-term phrase can match 10^4-10^5 docs; only
+            # ~k survive the final sort). The cut keeps everything
+            # within rounding slack of the k-th raw score, so the exact
+            # (round HALF_UP, doc_id) ordering — which numpy cannot
+            # reproduce bit-for-bit (banker's rounding) — still happens
+            # in Spark over the surviving handful.
+            kth = np.partition(hits["raw"].to_numpy(), -topk)[-topk]
+            hits = hits[hits["raw"].to_numpy() >= kth - 10.0 ** (-ROUND_DIGITS)]
         return spark.createDataFrame(hits, schema="doc_id long, raw double")
     schema = "doc_id long, raw double"
     return matched.groupBy("segment", "shard").applyInPandas(scorer, schema=schema)
@@ -289,7 +300,7 @@ def match_phrase(
     words = phrase_words(phrase, pattern)
     if not words:
         return spark.createDataFrame([], "doc_id long, score double")
-    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)), slop=slop)
+    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)), slop=slop, topk=k)
     if hits is None:  # legacy index without positions: docstore verify
         if slop:
             raise NotImplementedError("slop requires a positional index")
@@ -345,7 +356,8 @@ def match_phrase_prefix(
     if not exp:
         return empty
     hits = _positional_hits(
-        spark, reader, full, list(dict.fromkeys(full)), prefix_tids=[r["tid"] for r in exp]
+        spark, reader, full, list(dict.fromkeys(full)),
+        prefix_tids=[r["tid"] for r in exp], topk=k,
     )
     if hits is None:
         raise NotImplementedError("phrase_prefix requires a positional index")

@@ -58,6 +58,18 @@ try:
         print(f"{k}: min={v2[0]:.3f} med={v2[len(v2)//2]:.3f} all={[round(x,3) for x in v]}",
               flush=True)
 
+    # end-to-end phase breakdown of one match_phrase call
+    import go_mysql_elasticsearch_spark.query.phrase as PH
+    from go_mysql_elasticsearch_spark.query.wand import term_ids as _ti
+    t0 = time.time(); tm = _ti(spark, words); t_tid = time.time() - t0
+    t0 = time.time(); d2 = reader.df_lookup(list(tm.values())); t_df = time.time() - t0
+    t0 = time.time(); hits = PH._positional_hits(spark, reader, words, list(dict.fromkeys(words))); t_hits = time.time() - t0
+    t0 = time.time()
+    from pyspark.sql import functions as FF
+    out = hits.select("doc_id", FF.round("raw", 6).alias("score")).orderBy(FF.desc("score"), FF.asc("doc_id")).limit(10).collect()
+    t_sort = time.time() - t0
+    print(f"phases: term_ids={t_tid:.3f} df_lookup={t_df:.3f} positional_hits(incl pull+score+createDF)={t_hits:.3f} sort+collect={t_sort:.3f}", flush=True)
+
     # driver-path split: pull vs scorer (HEAD impl internals)
     from pyspark.sql import functions as F
     import pandas as pd
