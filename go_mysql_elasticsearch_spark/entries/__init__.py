@@ -29,6 +29,10 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     # new in round 4
     "mtermvectors",
+    "decontaminate_ngrams",
+    "exact_substr_spans",
+    "pii_scrub_stats",
+    "domain_mix_sample",
     # re-wired to the rowdoc-extracted _parent field in round 4
     # (VERDICT r3 #8) → re-record over the parent-routed fixture index
     "has_child",

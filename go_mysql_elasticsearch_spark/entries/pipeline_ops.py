@@ -417,3 +417,130 @@ FROM u GROUP BY host ORDER BY n_pages DESC, host ASC LIMIT 10""",
 FROM documents""",
     ),
 }
+
+
+# --- corpus curation (decontamination / substring dedup / PII / mixing) ----
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination (GPT-3 13-gram recipe, n=8 for the
+    short synthetic docs): flag training docs sharing an 8-gram with
+    the 'benchmark' slice (doc_id < 5). Benchmark hashes broadcast;
+    corpus text never shuffles."""
+    from ..pipeline.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 5)
+    corpus = docs.where(F.col("doc_id") >= 5)
+    return decontaminate(corpus, bench, n=8).orderBy("doc_id")
+
+
+def q_exact_substr(spark, sf_dir):
+    """ExactSubstr-style duplicated-span report (Lee et al. 2021,
+    distributed approximation): 10-token windows hashed corpus-wide;
+    windows in >= 2 docs mark duplicated spans."""
+    from ..pipeline.curation import exact_substr_spans
+
+    return exact_substr_spans(_docs(spark, sf_dir), n=10).orderBy("doc_id")
+
+
+def _pii_augmented(spark, sf_dir):
+    """Deterministic PII-bearing corpus: the synthetic text has no PII,
+    so docs at doc_id % 7 == 0 get an email and % 11 == 0 a phone +
+    IPv4 appended — IDENTICAL string construction in the oracle, so
+    scrub results value-hash across engines."""
+    d = _docs(spark, sf_dir)
+    email = F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.lit(" call 555-123-4567 from 10.0.0.1")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, email).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, phone).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing audit: redact emails/phones/IPv4 (pure-Catalyst
+    regexp chain), per-doc class counts; only docs that had any PII
+    are returned (the audit view)."""
+    from ..pipeline.curation import pii_scrub
+
+    out = pii_scrub(_pii_augmented(spark, sf_dir))
+    return out.where(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    ).orderBy("doc_id")
+
+
+def q_domain_mix(spark, sf_dir):
+    """Deterministic domain-mixture sampling (DoReMi/Pile-style
+    reweighting): per-host md5 bucket -> target rate; page kept iff
+    md5(url) lands under the rate. Per-host audit counts."""
+    from ..pipeline.curation import domain_mix_sample
+    from ..webpages import webpages
+
+    rates = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}
+    wp = webpages(spark, sf_dir).select("url")
+    return domain_mix_sample(wp, rates).orderBy("host")
+
+
+from ..pipeline.curation import decontaminate_sql, exact_substr_sql  # noqa: E402
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+_PII_SQL = f"""WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 from 10.0.0.1' ELSE '' END AS s
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(s, '{_PII_EMAIL}'))::BIGINT AS n_email,
+         regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g') AS s FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(s, '{_PII_PHONE}'))::BIGINT AS n_phone,
+         regexp_replace(s, '{_PII_PHONE}', '<PHONE>', 'g') AS s FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_phone, len(regexp_extract_all(s, '{_PII_IP}'))::BIGINT AS n_ipv4,
+         regexp_replace(s, '{_PII_IP}', '<IP>', 'g') AS scrubbed FROM s2
+)
+SELECT doc_id, scrubbed, n_email, n_phone, n_ipv4 FROM s3
+WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id"""
+
+_HOST_RE = "^[a-z]+://([^/]+)/"
+_DOMAIN_MIX_SQL = f"""WITH wp AS (
+  SELECT 'https://site' || (doc_id % 97)::VARCHAR || '.example/page/' || doc_id::VARCHAR AS url
+  FROM documents
+),
+x AS (
+  SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+         {_H60.format(x=f"regexp_extract(url, '{_HOST_RE}', 1)")} % 4 AS bucket,
+         {_H60.format(x='url')} % 10000 AS u
+  FROM wp
+)
+SELECT host, bucket, count(*)::BIGINT AS n_pages,
+       sum(CASE WHEN u < (CASE bucket WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 WHEN 2 THEN 0.75 ELSE 1.0 END) * 10000
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM x GROUP BY host, bucket ORDER BY host"""
+
+ENTRIES.update(
+    {
+        "decontaminate_ngrams": (
+            q_decontaminate,
+            decontaminate_sql(
+                bench_where="WHERE doc_id < 5", corpus_where="WHERE doc_id >= 5", n=8
+            ) + " ORDER BY doc_id",
+        ),
+        "exact_substr_spans": (
+            q_exact_substr,
+            exact_substr_sql(n=10) + " ORDER BY doc_id",
+        ),
+        "pii_scrub_stats": (q_pii_scrub, _PII_SQL),
+        "domain_mix_sample": (q_domain_mix, _DOMAIN_MIX_SQL),
+    }
+)
