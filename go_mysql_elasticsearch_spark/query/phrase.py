@@ -440,10 +440,17 @@ def phrase_slop_oracle_sql(words: list[str], slop: int, k: int = 10) -> str:
 
     uniq = list(dict.fromkeys(words))
     m = len(words)
-    froms = ", ".join(f"unnest(range(1, len(t) + 1)) AS u{j}(i{j})" for j in range(m))
-    conds = [f"t[i{j}] = '{w}'" for j, w in enumerate(words)]
+    # per-slot position lists are filtered to the slot's word BEFORE the
+    # cross join (occurrences per word per doc are tiny) — the naive
+    # range(len(t))^m enumeration is O(doc_len^m) per doc and hangs the
+    # oracle on long docs at larger scale factors
+    plists = ", ".join(
+        f"list_filter(range(1, len(t) + 1), i -> t[i] = '{w}') AS p{j}"
+        for j, w in enumerate(words)
+    )
+    froms = ", ".join(f"unnest(p{j}) AS u{j}(i{j})" for j in range(m))
     adj = ", ".join(f"i{j} - {j}" for j in range(m))
-    conds += [f"greatest({adj}) - least({adj}) <= {slop}"]
+    conds = [f"greatest({adj}) - least({adj}) <= {slop}"]
     conds += [
         f"i{j} <> i{jj}"
         for j in range(m)
@@ -451,8 +458,9 @@ def phrase_slop_oracle_sql(words: list[str], slop: int, k: int = 10) -> str:
         if words[j] == words[jj]
     ]
     return f"""WITH {bm25_ctes(uniq)},
+ppos AS (SELECT doc_id, {plists} FROM toks),
 phrase_docs AS (
-  SELECT DISTINCT doc_id FROM toks, {froms}
+  SELECT DISTINCT doc_id FROM ppos, {froms}
   WHERE {' AND '.join(conds)}
 ),
 sc AS (SELECT doc_id, sum(s) AS raw, count(*) AS matched FROM persc GROUP BY doc_id)
