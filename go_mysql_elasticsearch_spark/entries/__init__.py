@@ -33,6 +33,7 @@ _PRIORITY = [
     "exact_substr_spans",
     "pii_scrub_stats",
     "domain_mix_sample",
+    "stream_dedup",
     # re-wired to the rowdoc-extracted _parent field in round 4
     # (VERDICT r3 #8) → re-record over the parent-routed fixture index
     "has_child",

@@ -544,3 +544,21 @@ ENTRIES.update(
         "domain_mix_sample": (q_domain_mix, _DOMAIN_MIX_SQL),
     }
 )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Cross-batch streaming dedup, batch twin: first-seen row per
+    content key with duplicate counts (streaming path =
+    dropDuplicatesWithinWatermark, asserted equivalent across
+    micro-batches in tests/test_dedupstream.py)."""
+    from ..streaming.dedupstream import dedup_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dedup_events(ev).orderBy("event_id")
+
+
+from ..streaming.dedupstream import dedup_events_oracle_sql  # noqa: E402
+
+ENTRIES.update({
+    "stream_dedup": (q_stream_dedup, dedup_events_oracle_sql() + " ORDER BY event_id"),
+})
