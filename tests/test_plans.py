@@ -284,3 +284,39 @@ def test_msearch_distributed_matches_driver_path(spark, reader, monkeypatch):
     ]
     assert driver == dist
     assert any(driver)  # non-trivial fixture
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set must be the BROADCAST side — corpus
+    text never shuffles for decontamination."""
+    from go_mysql_elasticsearch_spark.pipeline.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in range(20)],
+        "doc_id long, text string",
+    )
+    s = plan_of(decontaminate(docs.where("doc_id >= 5"), docs.where("doc_id < 5"), n=8))
+    assert "BroadcastExchange" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_exact_substr_no_cartesian_uniform_key(spark):
+    from go_mysql_elasticsearch_spark.pipeline.curation import exact_substr_spans
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine ten eleven") for i in range(10)],
+        "doc_id long, text string",
+    )
+    s = plan_of(exact_substr_spans(docs, n=10))
+    assert "CartesianProduct" not in s, s
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    """PII scrubbing must be a shuffle-free Catalyst projection — no
+    Exchange, no Python workers in the plan."""
+    from go_mysql_elasticsearch_spark.pipeline.curation import pii_scrub
+
+    docs = spark.createDataFrame([(0, "mail a@b.co now")], "doc_id long, text string")
+    s = plan_of(pii_scrub(docs))
+    assert "Exchange" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
