@@ -44,33 +44,86 @@ def phrase_words(phrase: str, pattern: str | None = None) -> list[str]:
     return rx.findall(phrase.lower())
 
 
-class _TidPostings:
-    """One term's decoded postings within a (segment, shard) group:
-    doc-sorted arrays + per-posting position slices."""
+# Positions-decode telemetry (mirrors wand.DECODE_STATS): blocks whose
+# position payload was actually varbyte-decoded vs blocks present. The
+# gap is the lazy candidate-block pruning's value — a phrase pairing a
+# rare word with a head word decodes the head word's positions only in
+# the blocks that contain candidates.
+POS_DECODE_STATS = {"decoded": 0, "blocks": 0}
 
-    __slots__ = ("docs", "tfs", "dls", "pos_flat", "pos_off")
+
+class _TidPostings:
+    """One term's postings within a (segment, shard) group: docs/tfs/
+    dls batch-decoded up front (the intersection and scoring need
+    them); POSITION payloads decode LAZILY, only for the blocks that
+    hold candidate postings — decode cost ∝ candidate blocks, not the
+    term's df."""
+
+    __slots__ = ("docs", "tfs", "dls", "_pos_bufs", "_nper", "_bstarts")
 
     def __init__(self, g: pd.DataFrame):
         order = np.argsort(g["first_doc_id"].to_numpy())
-        gd, gt, gl, gp = (g["docs_vb"].to_numpy()[order], g["tfs_vb"].to_numpy()[order],
-                          g["dls_vb"].to_numpy()[order], g["pos_vb"].to_numpy()[order])
+        gd, gt, gl = (g["docs_vb"].to_numpy()[order], g["tfs_vb"].to_numpy()[order],
+                      g["dls_vb"].to_numpy()[order])
         # ONE vectorized varbyte pass per column over the whole
-        # sub-list (position deltas reset per posting, so block
-        # boundaries need no handling in the batch decode)
-        d, t, l, _ = unpack_blocks_batch(gd, gt, gl)
+        # sub-list (delta resets at block boundaries)
+        d, t, l, nper = unpack_blocks_batch(gd, gt, gl)
         self.docs = d.astype(np.int64)
         self.tfs = t.astype(np.int64)
         self.dls = l.astype(np.int64)
-        self.pos_flat = unpack_positions_batch(gp, self.tfs)[0].astype(np.int64)
-        ends = np.cumsum(self.tfs)
-        self.pos_off = ends - self.tfs
+        self._pos_bufs = g["pos_vb"].to_numpy()[order]
+        self._nper = nper
+        self._bstarts = np.cumsum(nper) - nper  # first posting idx per block
+        POS_DECODE_STATS["blocks"] += len(self._pos_bufs)
 
     def idx_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """Posting indexes of the given doc_ids (must all be present)."""
         return np.searchsorted(self.docs, doc_ids)
 
+    def positions_for(self, pidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of the requested (sorted) posting indexes:
+        ``(flat, lens)`` where posting ``pidx[i]`` owns the next
+        ``lens[i]`` values of ``flat``. Decodes ONLY the blocks the
+        requests fall in — one batched varbyte pass over that subset."""
+        if pidx.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        blocks = np.searchsorted(self._bstarts, pidx, side="right") - 1
+        need = np.unique(blocks)
+        n_blocks = len(self._pos_bufs)
+        if need.size >= n_blocks // 2:
+            # dense candidates: the subset bookkeeping costs more than
+            # it saves — decode the whole sub-list in one pass
+            POS_DECODE_STATS["decoded"] += n_blocks
+            flat, offs_all = unpack_positions_batch(self._pos_bufs, self.tfs)
+            flat = flat.astype(np.int64)
+            offs, loc = offs_all, pidx
+        else:
+            POS_DECODE_STATS["decoded"] += int(need.size)
+            tf_slices = [
+                self.tfs[self._bstarts[b]: self._bstarts[b] + self._nper[b]] for b in need
+            ]
+            tfs_cat = np.concatenate(tf_slices)
+            flat, _ = unpack_positions_batch([self._pos_bufs[b] for b in need], tfs_cat)
+            flat = flat.astype(np.int64)
+            ends = np.cumsum(tfs_cat.astype(np.int64))
+            offs = ends - tfs_cat
+            # decoded postings' global indexes, ascending (blocks sorted)
+            gidx = np.concatenate(
+                [np.arange(self._bstarts[b], self._bstarts[b] + self._nper[b]) for b in need]
+            )
+            loc = np.searchsorted(gidx, pidx)
+        lens = self.tfs[pidx]
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), lens
+        first = np.cumsum(lens) - lens
+        gather = (np.arange(total, dtype=np.int64) - np.repeat(first, lens)
+                  + np.repeat(offs[loc], lens))
+        return flat[gather], lens
+
     def positions(self, i: int) -> np.ndarray:
-        return self.pos_flat[self.pos_off[i] : self.pos_off[i] + self.tfs[i]]
+        flat, _lens = self.positions_for(np.array([i], dtype=np.int64))
+        return flat
 
 
 def _make_positional_scorer(
@@ -128,15 +181,10 @@ def _make_positional_scorer(
             ok = (pidx < len(tp.docs)) & (tp.docs[np.minimum(pidx, len(tp.docs) - 1)] == cand)
             ci = np.flatnonzero(ok)
             pidx = pidx[ok]
-            lens = tp.tfs[pidx]
-            starts = tp.pos_off[pidx]
-            total = int(lens.sum())
-            if total == 0:
+            pos, lens = tp.positions_for(pidx)  # lazy candidate-block decode
+            if pos.size == 0:
                 return np.empty(0, dtype=np.int64)
-            first = np.cumsum(lens) - lens
-            gather = np.arange(total, dtype=np.int64) - np.repeat(first, lens) + np.repeat(starts, lens)
-            pos = tp.pos_flat[gather]
-            return (np.repeat(ci, lens).astype(np.int64) << 32) | pos.astype(np.int64)
+            return (np.repeat(ci, lens).astype(np.int64) << 32) | pos
 
         m = len(chain_tids)
         # BIAS keeps the packed position part positive after the -j-d

@@ -307,3 +307,28 @@ def test_phrase_slop_repeated_words_collision_rule(spark, tmp_path):
     assert got(0) == {0}
     assert got(2) == {0, 2, 3}
     assert got(6) == {0, 2, 3, 5}
+
+
+def test_phrase_positions_decode_only_candidate_blocks(spark, tmp_path):
+    """Lazy positions: a phrase pairing a RARE word with a HEAD word
+    must decode the head word's position payloads only in blocks
+    holding candidate (intersection) docs — decode cost follows the
+    candidate set, not the head term's df."""
+    from go_mysql_elasticsearch_spark.index.build import build_index
+    from go_mysql_elasticsearch_spark.index.reader import IndexReader as IR
+    from go_mysql_elasticsearch_spark.query import phrase as P
+
+    # 4000 docs all contain 'head'; only docs 0 and 1 contain 'rare',
+    # adjacent as 'rare head' — with BLOCK_SIZE=128 the head term spans
+    # ~31 blocks per shard but candidates live in one
+    rows = [(i, ("rare head filler" if i < 2 else "head filler pad")) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "lazypos")
+    build_index(spark, docs, idx, n_segments=1, n_shards=1)
+    r = IR(spark, idx)
+    P.POS_DECODE_STATS["decoded"] = P.POS_DECODE_STATS["blocks"] = 0
+    got = {x["doc_id"] for x in match_phrase(spark, r, "rare head", k=10).collect()}
+    assert got == {0, 1}
+    stats = dict(P.POS_DECODE_STATS)
+    assert stats["blocks"] >= 30, stats       # head term alone spans ~31 blocks
+    assert stats["decoded"] <= 4, stats       # candidates confined to ~1 block/term
