@@ -34,6 +34,7 @@ _PRIORITY = [
     "pii_scrub_stats",
     "domain_mix_sample",
     "stream_dedup",
+    "image_features",
     # re-wired to the rowdoc-extracted _parent field in round 4
     # (VERDICT r3 #8) → re-record over the parent-routed fixture index
     "has_child",

@@ -562,3 +562,60 @@ from ..streaming.dedupstream import dedup_events_oracle_sql  # noqa: E402
 ENTRIES.update({
     "stream_dedup": (q_stream_dedup, dedup_events_oracle_sql() + " ORDER BY event_id"),
 })
+
+
+# --- real image decode (netpbm — no codec library needed) -------------------
+
+def _ppm_corpus(spark, sf_dir):
+    """Deterministic 8x8 P6 images: flat pixel i of doc d has value
+    (d*31 + i) % 256 — closed-form, so the oracle computes the decoded
+    features arithmetically while the ENGINE must parse real PPM bytes
+    (header + raw payload) to get the same numbers. Any decode bug
+    breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_ppm
+
+    def make(batches):
+        for pdf in batches:
+            imgs = [
+                encode_ppm(((int(d) * 31 + np.arange(192)) % 256)
+                           .astype(np.uint8).reshape(8, 8, 3))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, img binary")
+
+
+def q_image_features(spark, sf_dir):
+    """REAL image decode + feature extraction: PPM bytes parsed by the
+    netpbm kernel (pipeline/multimodal.py decode_image), per-channel
+    means + grayscale std via Arrow-batched mapInPandas."""
+    from ..pipeline.multimodal import image_features
+
+    return image_features(_ppm_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
+
+
+_IMAGE_FEATURES_SQL = """WITH px AS (
+  SELECT doc_id, (doc_id * 31 + 3 * k) % 256 AS r,
+         (doc_id * 31 + 3 * k + 1) % 256 AS g,
+         (doc_id * 31 + 3 * k + 2) % 256 AS b
+  FROM documents, range(0, 64) t(k)
+),
+a AS (
+  SELECT doc_id, avg(r) AS ar, avg(g) AS ag, avg(b) AS ab,
+         avg((r + g + b) / 3.0) AS mg,
+         avg(((r + g + b) / 3.0) * ((r + g + b) / 3.0)) AS mg2
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, 8 AS width, 8 AS height,
+       round(ar, 6) AS mean_r, round(ag, 6) AS mean_g, round(ab, 6) AS mean_b,
+       round(sqrt(mg2 - mg * mg), 6) AS std_gray
+FROM a ORDER BY doc_id"""
+
+ENTRIES.update({
+    "image_features": (q_image_features, _IMAGE_FEATURES_SQL),
+})

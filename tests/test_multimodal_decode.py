@@ -1,0 +1,46 @@
+"""Real netpbm decode kernel (pipeline/multimodal.py): round-trip
+property, header edge cases, and honest failures for codec-requiring
+formats."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_image, encode_ppm
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_ppm_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)
+
+
+def test_ppm_header_comments_and_whitespace():
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    raw = b"P6 # a comment\n# another comment\n 2\t2 # dims\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image(raw), px)
+
+
+def test_pgm_grayscale():
+    raw = b"P5\n3 2\n255\n" + bytes(range(6))
+    got = decode_image(raw)
+    assert got.shape == (2, 3)
+    assert got.tolist() == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_codec_formats_raise_honestly():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(ValueError):
+        decode_image(b"")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
