@@ -35,6 +35,8 @@ _PRIORITY = [
     "domain_mix_sample",
     "stream_dedup",
     "image_features",
+    "audio_features",
+    "video_frame_features",
     # re-wired to the rowdoc-extracted _parent field in round 4
     # (VERDICT r3 #8) → re-record over the parent-routed fixture index
     "has_child",

@@ -619,3 +619,97 @@ FROM a ORDER BY doc_id"""
 ENTRIES.update({
     "image_features": (q_image_features, _IMAGE_FEATURES_SQL),
 })
+
+
+def _wav_corpus(spark, sf_dir):
+    """Deterministic mono s16le WAVs: sample k of doc d is
+    ((d*7 + k*13) % 2001) - 1000 — closed-form for the oracle, real
+    RIFF bytes for the engine's decoder."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_wav
+
+    def make(batches):
+        for pdf in batches:
+            wavs = [
+                encode_wav(8000, (((int(d) * 7 + np.arange(256) * 13) % 2001) - 1000)
+                           .astype("<i2").reshape(-1, 1))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "audio": wavs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, audio binary")
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode + features: RIFF/PCM parse (decode_wav), RMS +
+    zero crossings per doc."""
+    from ..pipeline.multimodal import audio_features
+
+    return audio_features(_wav_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+_AUDIO_FEATURES_SQL = """WITH s AS (
+  SELECT doc_id, k, ((doc_id * 7 + k * 13) % 2001) - 1000 AS v
+  FROM documents, range(0, 256) t(k)
+),
+z AS (
+  SELECT doc_id, k, v,
+         CASE WHEN (v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY k) < 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM s
+)
+SELECT doc_id, 8000 AS sample_rate, 256::BIGINT AS n_samples,
+       round(sqrt(avg(v * v)), 6) AS rms,
+       sum(flip)::BIGINT AS zero_crossings
+FROM z GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _video_corpus(spark, sf_dir):
+    """Deterministic 6-frame 4x4 'videos' (concatenated raw P6 frames):
+    flat byte i of frame f in doc d is (d*11 + f*17 + i) % 256."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_ppm
+
+    def make(batches):
+        for pdf in batches:
+            vids = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    encode_ppm(((int(d) * 11 + f * 17 + np.arange(48)) % 256)
+                               .astype(np.uint8).reshape(4, 4, 3))
+                    for f in range(6)
+                ]
+                vids.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "video": vids})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, video binary")
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL frame sampling over a concatenated-PPM stream: every 2nd
+    frame decoded, per-frame grayscale mean."""
+    from ..pipeline.multimodal import video_frame_features
+
+    return video_frame_features(_video_corpus(spark, sf_dir), every_n=2).orderBy(
+        "doc_id", "frame_no"
+    )
+
+
+_VIDEO_FRAMES_SQL = """WITH f AS (
+  SELECT doc_id, fr, avg((doc_id * 11 + fr * 17 + i) % 256) AS mg
+  FROM documents, unnest([0, 2, 4]) t(fr), range(0, 48) u(i)
+  GROUP BY doc_id, fr
+)
+SELECT doc_id, fr AS frame_no, round(mg, 6) AS mean_gray
+FROM f ORDER BY doc_id, frame_no"""
+
+ENTRIES.update({
+    "audio_features": (q_audio_features, _AUDIO_FEATURES_SQL),
+    "video_frame_features": (q_video_frames, _VIDEO_FRAMES_SQL),
+})

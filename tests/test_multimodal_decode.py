@@ -44,3 +44,44 @@ def test_codec_formats_raise_honestly():
         decode_image(b"")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a....")
+
+
+@given(
+    st.integers(min_value=1, max_value=3),       # channels
+    st.integers(min_value=1, max_value=500),     # samples
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip(n_ch, n, seed):
+    from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, n_ch), dtype=np.int16)
+    rate, got = decode_wav(encode_wav(44100, s))
+    assert rate == 44100
+    assert np.array_equal(got, s)
+
+
+def test_wav_rejects_compressed_and_garbage():
+    from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_wav
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_wav(b"ID3\x04\x00" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 20)
+
+
+def test_video_frame_iteration_boundaries():
+    from go_mysql_elasticsearch_spark.pipeline.multimodal import (
+        encode_ppm,
+        iter_video_frames,
+    )
+
+    frames = [
+        np.full((2, 3, 3), v, dtype=np.uint8) for v in (0, 100, 255)
+    ]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    got = list(iter_video_frames(stream))
+    assert len(got) == 3
+    for f, g in zip(frames, got):
+        assert np.array_equal(f, g)
