@@ -37,6 +37,7 @@ _PRIORITY = [
     "image_features",
     "audio_features",
     "video_frame_features",
+    "agg_percentiles_hist",
     # re-wired to the rowdoc-extracted _parent field in round 4
     # (VERDICT r3 #8) → re-record over the parent-routed fixture index
     "has_child",

@@ -713,3 +713,24 @@ ENTRIES.update({
     "audio_features": (q_audio_features, _AUDIO_FEATURES_SQL),
     "video_frame_features": (q_video_frames, _VIDEO_FRAMES_SQL),
 })
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Deterministic histogram-quantile sketch (the order-independent,
+    mergeable stand-in for ES's t-digest percentiles): 256 equi-width
+    bins, map-side partial agg, only the bin counters reach the
+    driver."""
+    from ..pipeline.histq import hist_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hist_quantiles(ev, "value", [0.5, 0.95, 0.99])
+
+
+from ..pipeline.histq import hist_quantiles_sql  # noqa: E402
+
+ENTRIES.update({
+    "agg_percentiles_hist": (
+        q_hist_quantiles,
+        hist_quantiles_sql("value", [0.5, 0.95, 0.99]),
+    ),
+})
