@@ -1,0 +1,93 @@
+"""Index snapshot / restore — the ES ``_snapshot`` API analog
+(the reference's operational story relies on ES snapshots for backup;
+river/river.go only ever creates indices, recovery is ES-side).
+
+An index generation is IMMUTABLE once written except for appended
+tombstone parquet files and new segment dirs, and every segment is
+sealed by its atomically-written manifest — so a consistent snapshot
+is: (1) pin the current generation root, (2) copy the segment dirs
+whose manifests exist (a manifest is the segment's commit point; a
+half-built segment has none and is correctly excluded), (3) copy
+tombstones + settings, (4) write the snapshot manifest LAST
+(atomically) — its existence is the snapshot's commit point, mirroring
+the segment-manifest convention.
+
+Restore materializes the snapshot as a fresh standalone index dir; an
+IndexReader over it serves the exact pinned view. At object-store
+scale the file copies become server-side copies and the recipe is
+unchanged — correctness rests only on manifest-last ordering, not on
+copy atomicity.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+from .build import gen_root
+
+SNAP_MANIFEST = "snapshot.json"
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """Copy the CURRENT generation's committed state into ``snap_dir``.
+    Returns the snapshot manifest. Fails if ``snap_dir`` already holds
+    a committed snapshot (snapshots are immutable; use a new name)."""
+    if os.path.exists(os.path.join(snap_dir, SNAP_MANIFEST)):
+        raise ValueError(f"snapshot already exists: {snap_dir}")
+    root = gen_root(index_dir)
+    os.makedirs(snap_dir, exist_ok=True)
+    seg_ids = []
+    for mp in sorted(glob.glob(os.path.join(root, "segments", "seg=*", "manifest.json"))):
+        seg_src = os.path.dirname(mp)
+        seg_id = os.path.basename(seg_src)
+        shutil.copytree(
+            seg_src, os.path.join(snap_dir, "segments", seg_id), dirs_exist_ok=True
+        )
+        seg_ids.append(seg_id)
+    for extra in ("tombstones.parquet", "term_strings.parquet"):
+        src = os.path.join(root, extra)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(snap_dir, extra), dirs_exist_ok=True)
+    for f in ("settings.json",):
+        for src_root in (root, index_dir):
+            src = os.path.join(src_root, f)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(snap_dir, f))
+                break
+    manifest = {
+        "source": os.path.abspath(index_dir),
+        "generation_root": os.path.abspath(root),
+        "segments": seg_ids,
+        "created_unix": time.time(),
+    }
+    tmp = os.path.join(snap_dir, SNAP_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(snap_dir, SNAP_MANIFEST))  # commit point
+    return manifest
+
+
+def restore_index(snap_dir: str, dest_dir: str) -> str:
+    """Materialize a committed snapshot as a standalone index dir
+    (refuses an uncommitted/partial snapshot or a dest that already
+    looks like an index). Returns ``dest_dir``."""
+    mp = os.path.join(snap_dir, SNAP_MANIFEST)
+    if not os.path.exists(mp):
+        raise ValueError(f"no committed snapshot at {snap_dir}")
+    if os.path.exists(os.path.join(dest_dir, "segments")):
+        raise ValueError(f"destination already holds an index: {dest_dir}")
+    os.makedirs(dest_dir, exist_ok=True)
+    for name in os.listdir(snap_dir):
+        if name.startswith(SNAP_MANIFEST):
+            continue
+        src = os.path.join(snap_dir, name)
+        dst = os.path.join(dest_dir, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+    return dest_dir
