@@ -113,6 +113,11 @@ def _timed_queries(spark, reader, queries: dict) -> tuple[dict, dict]:
     def run(spec):
         if spec[0] == "phrase":
             return match_phrase(spark, reader, spec[1], k=10).collect()
+        if spec[0] == "dist":
+            # forced shard-parallel path: the 10^12-doc serving shape,
+            # benchmarked so the scale path's latency is on record too
+            return bm25_topk(spark, reader, spec[1], k=10, mode=spec[2],
+                             strategy="distributed").collect()
         terms, mode = spec
         return bm25_topk(spark, reader, terms, k=10, mode=mode).collect()
 
@@ -163,6 +168,9 @@ BIG_HEADLINE = {
     "qb_or2": (["data", "merge"], "or"),
     "qb_and2": (["dup", "scan"], "and"),
     "qb_phrase": ("phrase", "hash join"),
+    # same query as qb_or2 but forced onto the distributed path — the
+    # driver/distributed latency gap at this scale, measured not argued
+    "qb_or2_dist": ("dist", ["data", "merge"], "or"),
 }
 
 
