@@ -97,3 +97,41 @@ def test_domain_mix_deterministic_and_rate_shaped(spark):
             assert n_kept == 0
         if rates[host_bucket[host]] == 1.0:
             assert n_kept == n_pages
+
+
+def test_exact_substr_matches_bruteforce_property(spark):
+    """Randomized corpora: the distributed window-hash pipeline must
+    agree with a brute-force Python reference on which windows are
+    duplicated across docs."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    n = 6
+    for trial in range(3):
+        docs_py = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(n, 25))] for d in range(12)
+        }
+        # plant one guaranteed cross-doc span
+        span = [rng.choice(vocab) for _ in range(n)]
+        docs_py[0] = span + docs_py[0]
+        docs_py[1] = docs_py[1] + span
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_py.items()], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+               for r in exact_substr_spans(df, n=n).collect()}
+        # brute force
+        from collections import defaultdict
+
+        where = defaultdict(set)
+        wins = {}
+        for d, toks in docs_py.items():
+            ws = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            wins[d] = ws
+            for w in ws:
+                where[w].add(d)
+        for d, ws in wins.items():
+            exp_nw = len(ws)
+            exp_dup = sum(1 for w in ws if len(where[w]) >= 2)
+            assert got[d] == (exp_nw, exp_dup), (trial, d, got[d], (exp_nw, exp_dup))
