@@ -375,16 +375,16 @@ EWMA_ALPHA = 0.3  # ES EwmaModel default
 HOLT_ALPHA, HOLT_BETA = 0.3, 0.1  # ES HoltLinearModel defaults
 
 
-def _lagged_hourly(spark, sf_dir):
+def _lagged_hourly(spark, sf_dir, n: int = MOVAVG_WINDOW):
     """Hourly buckets + the window's values as lag columns x1(oldest)..
-    x5(current) — the unrolled carrier for the recursive mov_avg
+    xn(current) — the unrolled carrier for the recursive mov_avg
     models. One window spec, no extra shuffle beyond the hourly agg."""
     h = _hourly(spark, sf_dir)
     w = Window.orderBy("h")
-    for i in range(MOVAVG_WINDOW):
+    for i in range(n):
         h = h.withColumn(
             f"x{i + 1}",
-            F.lag(F.col("c").cast("double"), MOVAVG_WINDOW - 1 - i).over(w),
+            F.lag(F.col("c").cast("double"), n - 1 - i).over(w),
         )
     return h
 
@@ -428,14 +428,18 @@ def q_mov_avg_holt(spark, sf_dir):
     )
 
 
-_LAGGED_SQL = (
-    f"WITH h AS ({{hourly}}), lg AS (SELECT h, "
-    + ", ".join(
-        f"lag(c::DOUBLE, {MOVAVG_WINDOW - 1 - i}) OVER (ORDER BY h) AS x{i + 1}"
-        for i in range(MOVAVG_WINDOW)
+def _lagged_sql(n: int = MOVAVG_WINDOW) -> str:
+    return (
+        f"WITH h AS ({{hourly}}), lg AS (SELECT h, "
+        + ", ".join(
+            f"lag(c::DOUBLE, {n - 1 - i}) OVER (ORDER BY h) AS x{i + 1}"
+            for i in range(n)
+        )
+        + " FROM h)"
     )
-    + " FROM h)"
-)
+
+
+_LAGGED_SQL = _lagged_sql()
 
 
 def _ewma_sql() -> str:
@@ -469,6 +473,119 @@ def _holt_sql() -> str:
         f"round(s{MOVAVG_WINDOW}, 6) AS holt FROM {prev}"
     )
     return q
+
+
+# Holt-Winters (triple exponential) — explicit model settings, as a
+# client always sends (search_aggs_pipeline_mov_avg.go:266-341 exposes
+# alpha/beta/gamma/period/type knobs)
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.3, 0.1, 0.3, 3
+HW_WINDOW = 2 * HW_PERIOD  # the model needs >= two full seasons
+
+
+class _SqlExpr:
+    """Operator-overloaded SQL-text expression, so the SAME Python
+    lambdas that build the Spark Column tree render the SQL twin —
+    one source of truth for the float-op order in both engines."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s):
+        self.s = s
+
+    @staticmethod
+    def _t(o):
+        return o.s if isinstance(o, _SqlExpr) else repr(o)
+
+    def __add__(self, o):
+        return _SqlExpr(f"({self.s} + {self._t(o)})")
+
+    def __radd__(self, o):
+        return _SqlExpr(f"({self._t(o)} + {self.s})")
+
+    def __sub__(self, o):
+        return _SqlExpr(f"({self.s} - {self._t(o)})")
+
+    def __rsub__(self, o):
+        return _SqlExpr(f"({self._t(o)} - {self.s})")
+
+    def __mul__(self, o):
+        return _SqlExpr(f"({self.s} * {self._t(o)})")
+
+    def __rmul__(self, o):
+        return _SqlExpr(f"({self._t(o)} * {self.s})")
+
+    def __truediv__(self, o):
+        return _SqlExpr(f"({self.s} / {self._t(o)})")
+
+
+def _hw_steps(ref):
+    """The additive Holt-Winters unroll as (name, expr-builder) steps,
+    shared shape between the Spark chain and the SQL twin so both
+    engines perform the SAME float ops in the SAME order. ``ref`` turns
+    a column name into an expression handle (F.col | _SqlExpr)."""
+    a, bt, g, p = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    steps = []
+    # seeds: level = first-season mean; trend = mean cross-season slope
+    # (sum((x[i+p]-x[i])/p)/p); seasonal index c_i = x_i - level
+    steps.append(("s3", lambda c: (c("x1") + c("x2") + c("x3")) / 3.0))
+    steps.append(
+        ("b3", lambda c: ((c("x4") - c("x1")) + (c("x5") - c("x2")) + (c("x6") - c("x3"))) / 9.0)
+    )
+    for i in (1, 2, 3):
+        steps.append((f"c{i}", lambda c, i=i: c(f"x{i}") - c("s3")))
+    # recursion over the second season
+    for i in range(p + 1, 2 * p + 1):
+        pv = i - 1
+        steps.append(
+            (f"s{i}", lambda c, i=i, pv=pv: a * (c(f"x{i}") - c(f"c{i - p}"))
+             + (1.0 - a) * (c(f"s{pv}") + c(f"b{pv}")))
+        )
+        steps.append(
+            (f"b{i}", lambda c, i=i, pv=pv: bt * (c(f"s{i}") - c(f"s{pv}"))
+             + (1.0 - bt) * c(f"b{pv}"))
+        )
+        steps.append(
+            (f"c{i}", lambda c, i=i, pv=pv: g * (c(f"x{i}") - (c(f"s{pv}") - c(f"b{pv}")))
+             + (1.0 - g) * c(f"c{i - p}"))
+        )
+    # one-step-ahead forecast: level + trend + matching seasonal index
+    steps.append(
+        ("hw", lambda c: c(f"s{2 * p}") + c(f"b{2 * p}") + c(f"c{p + 1}"))
+    )
+    return steps
+
+
+def q_mov_avg_holt_winters(spark, sf_dir):
+    """mov_avg model=holt_winters (search_aggs_pipeline_mov_avg.go
+    HoltWintersMovAvgModel, additive seasonality, period=3 over a
+    6-bucket window): triple exponential smoothing — level/trend seeded
+    from the first season's mean and the mean cross-season slope,
+    seasonal indices c_i = x_i - level, then the standard additive
+    recursion; the bucket value is the one-step-ahead forecast
+    s + b + c. Unrolled to a fixed withColumn chain (window=2·period is
+    a constant), so a 10^9-bucket series runs it as ONE window-function
+    projection — no UDF, no iteration state. Incomplete windows emit
+    NULL."""
+    h = _lagged_hourly(spark, sf_dir, n=HW_WINDOW)
+    for name, fn in _hw_steps(F.col):
+        h = h.withColumn(name, fn(F.col))
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.col("hw"), 6).alias("holt_winters"),
+    )
+
+
+def _holt_winters_sql() -> str:
+    q = _lagged_sql(HW_WINDOW).format(hourly=_HOURLY_SQL)
+    prev = "lg"
+    sref = lambda n: _SqlExpr(n)  # noqa: E731
+    for j, (name, fn) in enumerate(_hw_steps(sref)):
+        q += f", hw{j} AS (SELECT *, {fn(sref).s} AS {name} FROM {prev})"
+        prev = f"hw{j}"
+    return (
+        q + f" SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        f"round(hw, 6) AS holt_winters FROM {prev}"
+    )
 
 
 def q_serial_diff(spark, sf_dir):
@@ -740,6 +857,7 @@ FROM m""",
     "agg_terms_cms": (q_terms_cms, _terms_cms_sql()),
     "pipeline_mov_avg_ewma": (q_mov_avg_ewma, _ewma_sql()),
     "pipeline_mov_avg_holt": (q_mov_avg_holt, _holt_sql()),
+    "pipeline_mov_avg_holt_winters": (q_mov_avg_holt_winters, _holt_winters_sql()),
     "pipeline_serial_diff": (
         q_serial_diff,
         f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "

@@ -512,7 +512,7 @@ s3 AS (
 SELECT doc_id, scrubbed, n_email, n_phone, n_ipv4 FROM s3
 WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id"""
 
-_HOST_RE = "^[a-z]+://([^/]+)/"
+_HOST_RE = "^[a-z]+://([^/]+)"  # no trailing slash: path-less URLs keep their host
 _DOMAIN_MIX_SQL = f"""WITH wp AS (
   SELECT 'https://site' || (doc_id % 97)::VARCHAR || '.example/page/' || doc_id::VARCHAR AS url
   FROM documents

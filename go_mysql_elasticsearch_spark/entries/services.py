@@ -286,7 +286,11 @@ def q_script_fields(spark, sf_dir):
 def _script_fields_sql() -> str:
     from ..query.script import parse_script, to_sql
 
-    qualified = {"doc_id": "d.doc_id", "n_chars": "length(d.text)", "lang": "d.lang"}
+    qualified = {
+        "doc_id": "CAST(d.doc_id AS BIGINT)",
+        "n_chars": "CAST(length(d.text) AS BIGINT)",
+        "lang": "d.lang",
+    }
     expr = to_sql(parse_script(SCRIPT_FIELD_SRC, SCRIPT_FIELD_PARAMS), qualified)
     return f"""WITH {bm25_ctes(['data'])}
 , sc AS (

@@ -429,12 +429,23 @@ def build_index(
     n_shards: int = 8,
     block_size: int = BLOCK_SIZE,
     settings: dict | None = None,
+    template_store: str | None = None,
 ) -> list[dict]:
     """Partition the doc space into ``n_segments`` and build each.
 
     Segment assignment is ``doc_id % n_segments`` (deterministic, so a
     killed build resumes with identical segment contents).
+
+    ``template_store``: directory holding ``index_templates.json`` —
+    templates whose pattern matches this index's basename merge into
+    ``settings`` (explicit keys win; index/templates.py precedence).
     """
+    if template_store is not None:
+        from .templates import settings_for
+
+        settings = settings_for(
+            template_store, os.path.basename(index_dir.rstrip("/")), settings
+        )
     manifests = []
     for s in range(n_segments):
         part = docs.where(F.pmod(F.col("doc_id"), F.lit(n_segments)) == s) if n_segments > 1 else docs

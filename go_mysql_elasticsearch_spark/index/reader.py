@@ -29,6 +29,7 @@ class IndexReader:
         self._df_cache: dict[int, int] = {}  # tid → df (driver-side LRU-ish)
         self._tomb_cache: dict[int, int] | None = None
         self._tomb_count: int | None = None
+        self._serving: DataFrame | None = None  # open_serving() residency
         # per-index analyzer/scoring settings (K5 parity); defaults if
         # the index predates settings persistence. The GENERATION
         # root's copy wins — it is written by the same build that
@@ -105,7 +106,50 @@ class IndexReader:
         return out
 
     def postings(self) -> DataFrame:
+        if self._serving is not None:
+            return self._serving
         return self._union("postings.parquet")
+
+    def open_serving(self, n_parts: int | None = None) -> DataFrame:
+        """ES-style shard residency for the query path (VERDICT r4 #3).
+
+        The distributed scorer is ``groupBy(segment, shard).
+        applyInPandas`` — over a bare parquet scan that groupBy pays a
+        full shuffle of the MATCHED POSTINGS on every query, which at
+        10^12 docs is the serving cost. ES never pays it: segments are
+        assigned to data nodes once at index open and queries route to
+        them. This is the Spark-idiomatic equivalent: repartition the
+        postings by (segment, shard) ONCE, sort by tid within
+        partitions, and persist. The cached plan's output partitioning
+        is HashPartitioning(segment, shard) — exactly the
+        ClusteredDistribution the scorer's groupBy needs — so every
+        subsequent query's filter+select+applyInPandas runs with NO
+        Exchange (plan-asserted, tests/test_plans.py::
+        test_serving_mode_no_per_query_exchange). The within-partition
+        tid sort keeps the in-memory columnar batches tid-contiguous so
+        batch-level min/max pruning serves the term filter, replacing
+        the parquet row-group pruning the raw scan had.
+
+        The residency pins the open-time view (manifests + tombstone
+        sentinels are resolved per query as before; new SEGMENTS landed
+        after open are not served) — same contract as an ES searcher:
+        close_serving()/reopen after index maintenance.
+        """
+        if self._serving is None:
+            n = n_parts or self.spark.sparkContext.defaultParallelism
+            self._serving = (
+                self._union("postings.parquet")
+                .repartition(n, "segment", "shard")
+                .sortWithinPartitions("tid")
+                .persist()
+            )
+            self._serving.count()  # materialize the residency eagerly
+        return self._serving
+
+    def close_serving(self) -> None:
+        if self._serving is not None:
+            self._serving.unpersist()
+            self._serving = None
 
     def docstore(self) -> DataFrame:
         """Live stored fields: tombstoned (doc_id, segment ≤ upto_seg)
@@ -240,10 +284,14 @@ class IndexReader:
         counts — Lucene semantics: tombstoned docs keep counting until
         their segment merges away.
 
-        Fallback for pre-v5 segments: derive from the docstore (one
-        re-tokenize pass) and cache beside the segments, keyed by the
-        live segment set so the cache can never serve a stale
-        dictionary after an incremental segment lands."""
+        Fallback for pre-v5 segments: derive from the RAW stored fields
+        (one re-tokenize pass, NOT tombstone-filtered — same Lucene
+        convention as the build-time counts, so dictionary-walking ops
+        that rank by df — fuzzy/suggest/phrase-prefix — order
+        identically whatever the segment vintage; ADVICE r4) and cache
+        beside the segments, keyed by the live segment set so the cache
+        can never serve a stale dictionary after an incremental segment
+        lands."""
         import hashlib as _hl
         import os as _os
 
@@ -263,7 +311,7 @@ class IndexReader:
         p = _os.path.join(self.root, f"term_strings-{tag}.parquet")
         if not _os.path.exists(_os.path.join(p, "_SUCCESS")):
             terms = (
-                self.docstore()
+                self._union("docs.parquet")
                 .select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))

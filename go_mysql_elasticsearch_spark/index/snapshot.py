@@ -12,6 +12,20 @@ tombstones + settings, (4) write the snapshot manifest LAST
 (atomically) — its existence is the snapshot's commit point, mirroring
 the segment-manifest convention.
 
+Concurrent-writer race (step 3): apply_changes writes an upsert's
+tombstone BEFORE committing its replacement segment, and tombstones
+are copied AFTER the segment set is pinned — so the copy can capture a
+tombstone whose replacement segment is NOT in the snapshot, silently
+dropping a live doc from the restored index. Step 3 therefore FILTERS
+tombstone rows: an upsert tombstone (is_delete=false) is kept only if
+its replacement segment (upto_seg + 1) is in the pinned set; a delete
+tombstone (is_delete=true) references no segment and is always kept.
+Rows from pre-marker parquet files (is_delete column absent → null)
+fall back to the membership rule — the no-data-loss direction; the
+only legacy artifact is that a trailing delete-only tombstone written
+right before the snapshot may be excluded (doc resurrects in the
+restored copy), which new-format writes don't exhibit.
+
 Restore materializes the snapshot as a fresh standalone index dir; an
 IndexReader over it serves the exact pinned view. At object-store
 scale the file copies become server-side copies and the recipe is
@@ -32,6 +46,35 @@ from .build import gen_root
 SNAP_MANIFEST = "snapshot.json"
 
 
+def _copy_tombstones_filtered(src: str, dst: str, pinned: set[int]) -> None:
+    """Copy tombstone parquet files, dropping upsert tombstones whose
+    replacement segment (upto_seg + 1) is not in the pinned set (module
+    doc: the concurrent-upsert race). Streams per file via pyarrow —
+    never loads the whole tombstone set — so the copy stays file-local
+    at object-store scale just like the segment copies."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    if not files:
+        return
+    os.makedirs(dst, exist_ok=True)
+    pinned_arr = pa.array(sorted(pinned), type=pa.int64())
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        replacement = pc.add(pc.cast(t["upto_seg"], pa.int64()), 1)
+        keep_upsert = pc.fill_null(pc.is_in(replacement, value_set=pinned_arr), False)
+        if "is_delete" in t.column_names:
+            mask = pc.or_(pc.fill_null(t["is_delete"], False), keep_upsert)
+        else:
+            # legacy files (pre is_delete): membership rule only
+            mask = keep_upsert
+        t = t.filter(mask)
+        if t.num_rows:
+            pq.write_table(t, os.path.join(dst, f"part-{i:05d}.parquet"))
+
+
 def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     """Copy the CURRENT generation's committed state into ``snap_dir``.
     Returns the snapshot manifest. Fails if ``snap_dir`` already holds
@@ -41,6 +84,7 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     root = gen_root(index_dir)
     os.makedirs(snap_dir, exist_ok=True)
     seg_ids = []
+    pinned: set[int] = set()
     for mp in sorted(glob.glob(os.path.join(root, "segments", "seg=*", "manifest.json"))):
         seg_src = os.path.dirname(mp)
         seg_id = os.path.basename(seg_src)
@@ -48,7 +92,14 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
             seg_src, os.path.join(snap_dir, "segments", seg_id), dirs_exist_ok=True
         )
         seg_ids.append(seg_id)
-    for extra in ("tombstones.parquet", "term_strings.parquet"):
+        with open(mp) as fh:
+            pinned.add(int(json.load(fh)["segment_id"]))
+    _copy_tombstones_filtered(
+        os.path.join(root, "tombstones.parquet"),
+        os.path.join(snap_dir, "tombstones.parquet"),
+        pinned,
+    )
+    for extra in ("term_strings.parquet",):
         src = os.path.join(root, extra)
         if os.path.isdir(src):
             shutil.copytree(src, os.path.join(snap_dir, extra), dirs_exist_ok=True)

@@ -235,7 +235,10 @@ def domain_mix_sample(
     same page always gets the same verdict, across runs AND engines
     (the reproducibility property DoReMi-style mixture tuning needs).
     Returns per-host (host, bucket, n_pages, n_kept)."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    # no trailing slash in the host regex: a path-less URL
+    # (https://example.com) must still yield its real host, not lump
+    # into one empty-host bucket with an arbitrary rate
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     bucket = F.pmod(h60(host), F.lit(n_buckets))
     rate_expr = F.coalesce(*[F.when(bucket == b, F.lit(r)) for b, r in rates.items()], F.lit(1.0))
     kept = (F.pmod(h60(F.col("url")), F.lit(10_000)) < rate_expr * 10_000).cast("int")

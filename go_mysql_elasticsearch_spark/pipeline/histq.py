@@ -15,8 +15,15 @@ quantile q over N values, target rank r = q·N; walk the cumulative
 bin counts to the first bin with cum ≥ r; linearly interpolate inside
 the bin: est = lo + width · (r − cum_before) / bin_count.
 
-The domain [lo, hi] comes from the column's exact min/max (on parquet:
-footer statistics, no data scan).
+The domain [lo, hi] comes from an initial exact min/max aggregation —
+a cheap columnar single-column pass (Spark only serves min/max from
+parquet footer metadata when ``spark.sql.parquet.aggregatePushDown``
+is enabled AND the input is a bare scan; this session does not set it,
+so count the pass honestly).
+
+Degenerate inputs (empty table / all-NULL column) yield one row of
+NULL estimates — identical to the DuckDB twin, whose correlated
+subqueries over an empty histogram return NULL.
 """
 
 from __future__ import annotations
@@ -32,7 +39,14 @@ def hist_quantiles(
 ) -> DataFrame:
     """One row: est_q<q> per requested quantile, from an n_bins
     equi-width histogram over [min, max]."""
+    spark = df.sparkSession
+    names = [f"est_q{str(q).replace('.', '_')}" for q in qs]
+    schema = ", ".join(f"{k} double" for k in names)
     lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is None or hi is None:
+        # empty table / all-NULL column: one row of NULLs, matching the
+        # SQL twin's empty-histogram subqueries
+        return spark.createDataFrame([tuple(None for _ in names)], schema)
     lo, hi = float(lo), float(hi)
     width = (hi - lo) / n_bins or 1.0
     # bin index, clamped so x == hi lands in the last bin
@@ -48,23 +62,20 @@ def hist_quantiles(
     )
     counts = {r["b"]: r["c"] for r in hist}
     n = sum(counts.values())
-    outs = {}
+    outs = []
     for q in qs:
         r = q * n
         cum = 0
-        est = hi
+        est = None  # no-bin-found => NULL, matching the SQL twin
         for b in range(n_bins):
             c = counts.get(b, 0)
             if c and cum + c >= r:
                 frac = (r - cum) / c
-                est = lo + width * (b + frac)
+                est = round(lo + width * (b + frac), 6)
                 break
             cum += c
-        outs[f"est_q{str(q).replace('.', '_')}"] = round(est, 6)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [tuple(outs.values())], ", ".join(f"{k} double" for k in outs)
-    )
+        outs.append(est)
+    return spark.createDataFrame([tuple(outs)], schema)
 
 
 def hist_quantiles_sql(

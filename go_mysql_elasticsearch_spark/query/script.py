@@ -23,6 +23,16 @@ rivers actually use):
 
 Scale note: compilation is driver-side string work; the emitted Column
 is ordinary Catalyst — pushdown/codegen apply as if hand-written.
+
+Integer width contract: all integer arithmetic is pinned to int64.
+Both renderers CAST integer field references and integer literals to
+64-bit (Spark ``long`` / SQL ``BIGINT``) so the two engines agree —
+bare integer literals type as INT32 in DuckDB and ``length()`` returns
+INT32 in Spark, so an unpinned product like ``doc_id * doc_id * doc_id``
+overflows at 2^31 in one engine but not the other (Hypothesis found
+this at doc_id=1291). Behavior beyond int64 is undefined (DuckDB
+raises, Spark wraps or raises under ANSI), matching Painless's Java
+``long`` limit.
 """
 
 from __future__ import annotations
@@ -170,7 +180,12 @@ def to_column(node, fields: dict):
 
     kind = node[0]
     if kind == "lit":
-        return F.lit(node[1])
+        v = node[1]
+        # int64 contract: int literals compute as long (bool is an int
+        # subclass in Python — leave it boolean)
+        if isinstance(v, int) and not isinstance(v, bool):
+            return F.lit(v).cast("long")
+        return F.lit(v)
     if kind == "field":
         if node[1] not in fields:
             raise ValueError(f"unknown doc field: {node[1]}")
@@ -213,7 +228,13 @@ def to_sql(node, fields: dict) -> str:
     kind = node[0]
     if kind == "lit":
         v = node[1]
-        return f"'{v}'" if isinstance(v, str) else repr(v)
+        if isinstance(v, str):
+            return f"'{v}'"
+        # int64 contract: bare int literals type INT32 in DuckDB —
+        # CAST AS BIGINT is dialect-common and pins the width
+        if isinstance(v, int) and not isinstance(v, bool):
+            return f"CAST({v} AS BIGINT)"
+        return repr(v)
     if kind == "field":
         if node[1] not in fields:
             raise ValueError(f"unknown doc field: {node[1]}")
@@ -266,15 +287,20 @@ def parse_update_script(src: str, params: dict | None = None) -> list[tuple[str,
 
 
 # Default field bindings for the documents docstore (text/lang stored;
-# n_chars is the virtual mapping field).
+# n_chars is the virtual mapping field). Integer fields carry the int64
+# CAST (module contract above) so both engines compute in 64-bit.
 def spark_fields():
     from pyspark.sql import functions as F
 
     return {
-        "doc_id": lambda: F.col("doc_id"),
+        "doc_id": lambda: F.col("doc_id").cast("long"),
         "lang": lambda: F.col("lang"),
-        "n_chars": lambda: F.length("text"),
+        "n_chars": lambda: F.length("text").cast("long"),
     }
 
 
-SQL_FIELDS = {"doc_id": "doc_id", "lang": "lang", "n_chars": "length(text)"}
+SQL_FIELDS = {
+    "doc_id": "CAST(doc_id AS BIGINT)",
+    "lang": "lang",
+    "n_chars": "CAST(length(text) AS BIGINT)",
+}

@@ -342,11 +342,15 @@ def _bm25_topk_batch_distributed(
     sub-query — the matched-postings frame (pruned by the union of all
     sub-query tids) is shuffled once by (segment, shard), and the group
     scorer runs each sub-query against its slice of the group, tagging
-    hits with ``qid``. The scored frame (≤ n_queries × k rows per
-    group) is cached; each returned DataFrame is a qid filter + global
-    top-k over it, so collecting all N results costs one postings scan
-    total (plan-asserted: tests/test_plans.py::test_msearch_distributed
-    _single_postings_scan)."""
+    hits with ``qid``. The per-qid global top-k is then taken in the
+    SAME job with one small window shuffle (the scored frame is ≤
+    n_segments × n_shards × n_queries × k rows) and eagerly collected —
+    ≤ n_queries × k rows to the driver — so all N results cost one
+    postings scan total (plan-asserted: tests/test_plans.py::
+    test_msearch_distributed_single_postings_scan) and NO persist
+    lingers in executor memory afterwards (ADVICE r4: the previous
+    cached-frame design leaked a persisted RDD per over-threshold
+    msearch call for the session lifetime)."""
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}
     big_tombs = reader.tombstones_count() > reader.TOMBSTONE_DICT_MAX
@@ -399,14 +403,26 @@ def _bm25_topk_batch_distributed(
         matched = matched.unionByName(reader.dead_sentinel_rows(), allowMissingColumns=True)
     scored = matched.groupBy("segment", "shard").applyInPandas(
         batch_score, schema="qid int, doc_id long, raw double"
-    ).persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    top_rows = (
+        scored.select("qid", "doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()  # bounded: ≤ n_queries × k rows
+    )
+    by_qid: dict[int, list] = {}
+    for r in sorted(top_rows, key=lambda r: (r["qid"], r["rn"])):
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
     for i, r in enumerate(results):
         if r is None:
+            rows = by_qid.get(i)
             results[i] = (
-                scored.where(F.col("qid") == i)
-                .select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
+                spark.createDataFrame(rows, "doc_id long, score double")
+                if rows
+                else empty
             )
     return results
 

@@ -62,8 +62,14 @@ def apply_changes(
         new_seg = _next_segment_id(index_dir)
         # 1. tombstone old versions of updated/deleted docs (postings in
         #    segments < new_seg die; the re-added doc lives in new_seg)
+        #    is_delete marks rows whose batch adds NO replacement doc —
+        #    snapshot_index uses it to tell "delete" (keep: references
+        #    no segment) from "upsert whose segment isn't pinned" (drop:
+        #    the replacement missed the snapshot, old version stays live)
         dead = changes.where(F.col("action").isin("update", "delete")).select(
-            "doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg")
+            "doc_id",
+            F.lit(new_seg - 1).cast("int").alias("upto_seg"),
+            (F.col("action") == "delete").alias("is_delete"),
         )
         if not dead.isEmpty():
             dead.write.mode("append").parquet(os.path.join(gen_root(index_dir), "tombstones.parquet"))
@@ -286,7 +292,11 @@ def delete_by_query(
     new_seg = _next_segment_id(index_dir)
     dead = (
         bm25_topk(spark, reader, query, mode=mode, return_all=True)
-        .select("doc_id", F.lit(new_seg - 1).cast("int").alias("upto_seg"))
+        .select(
+            "doc_id",
+            F.lit(new_seg - 1).cast("int").alias("upto_seg"),
+            F.lit(True).alias("is_delete"),
+        )
         .cache()
     )
     try:

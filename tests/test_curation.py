@@ -89,7 +89,7 @@ def test_domain_mix_deterministic_and_rate_shaped(spark):
     host_bucket = {
         r["h"]: r["b"]
         for r in pages.select(
-            F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("h")
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("h")
         ).distinct().select("h", F.pmod(h60(F.col("h")), F.lit(4)).alias("b")).collect()
     }
     for host, n_pages, n_kept in a:
@@ -97,6 +97,17 @@ def test_domain_mix_deterministic_and_rate_shaped(spark):
             assert n_kept == 0
         if rates[host_bucket[host]] == 1.0:
             assert n_kept == n_pages
+
+
+def test_domain_mix_pathless_url_keeps_host(spark):
+    """A URL with no path (https://example.com) must bucket under its
+    real host, not an empty-host catch-all (ADVICE r4)."""
+    pages = spark.createDataFrame(
+        [("https://example.com",), ("https://example.com/p/1",)], "url string"
+    )
+    rows = domain_mix_sample(pages, {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}).collect()
+    assert len(rows) == 1
+    assert rows[0]["host"] == "example.com" and rows[0]["n_pages"] == 2
 
 
 def test_exact_substr_matches_bruteforce_property(spark):

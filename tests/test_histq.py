@@ -27,6 +27,18 @@ def test_hist_quantiles_within_bin_width(spark):
         assert abs(est - exact) <= 2 * width, (q, est, exact, width)
 
 
+def test_hist_quantiles_degenerate_inputs_yield_nulls(spark):
+    """Empty table / all-NULL column: one row of NULL estimates,
+    matching the DuckDB twin's empty-histogram subqueries (ADVICE r4 —
+    previously crashed with float(None))."""
+    empty = spark.createDataFrame([], "value double")
+    row = hist_quantiles(empty, "value", [0.5, 0.99]).first()
+    assert row["est_q0_5"] is None and row["est_q0_99"] is None
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    row = hist_quantiles(nulls, "value", [0.5]).first()
+    assert row["est_q0_5"] is None
+
+
 def test_hist_quantiles_order_independent(spark):
     vals = [float(v) for v in range(1000)]
     a = spark.createDataFrame([(v,) for v in vals], "value double")

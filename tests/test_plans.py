@@ -286,6 +286,35 @@ def test_msearch_distributed_matches_driver_path(spark, reader, monkeypatch):
     assert any(driver)  # non-trivial fixture
 
 
+def test_serving_mode_no_per_query_exchange(spark, tmp_path):
+    """VERDICT r4 #3: with shard residency open (open_serving), the
+    distributed scorer's groupBy(segment, shard) reuses the residency's
+    HashPartitioning — the per-query plan has NO Exchange between the
+    in-memory scan and the group scorer (the one repartition lives
+    inside the cached plan, paid once at open). Results must be
+    bit-identical to the raw-scan path."""
+    from go_mysql_elasticsearch_spark.query import wand as W
+
+    idx = str(tmp_path / "srvidx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=2, n_shards=4)
+    r = IndexReader(spark, idx)
+    raw = [tuple(x) for x in
+           W.bm25_topk(spark, r, ["data", "merge"], k=5, strategy="distributed").collect()]
+
+    r.open_serving()
+    try:
+        df = W.bm25_topk(spark, r, ["data", "merge"], k=5, strategy="distributed")
+        s = formatted(df)
+        tree = s.split("InMemoryRelation")[0]  # per-query section only
+        assert "FlatMapGroupsInPandas" in tree and "InMemoryTableScan" in tree, s
+        between = tree.split("FlatMapGroupsInPandas")[1].split("InMemoryTableScan")[0]
+        assert "Exchange" not in between, s
+        assert [tuple(x) for x in df.collect()] == raw
+    finally:
+        r.close_serving()
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark n-gram set must be the BROADCAST side — corpus
     text never shuffles for decontamination."""

@@ -90,7 +90,7 @@ def test_column_renderer_matches_sql(spark):
 
 # --- property: renderer == reference interpreter over random trees ---------
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, example, given, settings, strategies as st
 
 
 def _eval_node(node, env):
@@ -107,7 +107,7 @@ def _eval_node(node, env):
         import math
 
         a, b = _eval_node(node[2], env), _eval_node(node[3], env)
-        return {
+        r = {
             "+": lambda: a + b,
             "-": lambda: a - b,
             "*": lambda: a * b,
@@ -118,6 +118,12 @@ def _eval_node(node, env):
             # this on a negative dividend)
             "%": lambda: math.fmod(a, b) if (a < 0 or b < 0) else a % b,
         }[node[1]]()
+        # engine contract is int64 (query/script.py module doc): beyond
+        # 2^63 the engines' behavior is undefined (DuckDB raises) while
+        # Python is arbitrary-precision — signal the test to discard
+        if isinstance(r, int) and not -(2**63) <= r < 2**63:
+            raise OverflowError(r)
+        return r
     if kind == "cmp":
         a, b = _eval_node(node[2], env), _eval_node(node[3], env)
         return {
@@ -167,10 +173,26 @@ def _arith_expr(draw, depth=0):
 
 @settings(max_examples=60, deadline=None)
 @given(_arith_expr(), st.integers(0, 10_000), st.integers(1, 500))
+@example(
+    # pinned Hypothesis counterexample (round 4): 1291^3 > 2^31 — bare
+    # int literals/fields typed INT32 in DuckDB and overflowed where the
+    # Spark/interpreter paths computed in 64-bit. Fixed by the int64
+    # CAST contract in query/script.py.
+    src="(doc['doc_id'].value * (doc['doc_id'].value * doc['doc_id'].value))",
+    doc_id=1291,
+    n_chars=1,
+).via("discovered failure")
 def test_duckdb_render_matches_reference_interpreter(src, doc_id, n_chars):
     node = parse_script(src)
     env = {"doc_id": doc_id, "n_chars": n_chars}
-    want = _eval_node(node, env)
-    fields = {"doc_id": str(doc_id), "n_chars": str(n_chars)}
+    try:
+        want = _eval_node(node, env)
+    except OverflowError:
+        assume(False)  # outside the int64 engine contract
+    # field bindings carry the int64 CAST exactly as SQL_FIELDS does
+    fields = {
+        "doc_id": f"CAST({doc_id} AS BIGINT)",
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+    }
     got = duckdb.sql(f"SELECT {to_sql(node, fields)} AS v").fetchone()[0]
     assert got == pytest.approx(want, rel=1e-12, abs=1e-9), (src, env)

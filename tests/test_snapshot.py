@@ -57,3 +57,52 @@ def test_snapshot_restore_pins_the_view(spark, tmp_path):
     os.makedirs(bad)
     with pytest.raises(ValueError, match="no committed snapshot"):
         restore_index(bad, str(tmp_path / "nope"))
+
+
+def test_snapshot_concurrent_upsert_race_keeps_live_doc(spark, tmp_path):
+    """ADVICE r4 (medium): a tombstone captured WITHOUT its replacement
+    segment must not kill the doc in the restored index. Simulated by
+    appending an orphan upsert tombstone (is_delete=false, replacement
+    segment never committed) — exactly the on-disk state a snapshot
+    racing apply_changes between its two writes would see — while a
+    genuine delete tombstone (is_delete=true) must survive the copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_mysql_elasticsearch_spark.index.build import gen_root
+
+    idx = str(tmp_path / "race_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=1, n_shards=2)
+    before = _top(spark, idx, ["data", "merge"])
+    live_doc = before[0][0]
+    deleted_doc = before[1][0]
+
+    # a real committed delete (replacement-less, is_delete=true)
+    changes = spark.createDataFrame(
+        [("delete", deleted_doc, None)], "action string, doc_id long, text string"
+    )
+    apply_changes(spark, idx, changes, n_shards=2)
+
+    # orphan upsert tombstone: apply_changes crashed (or is mid-flight)
+    # after the tombstone write, before the segment commit
+    tdir = os.path.join(gen_root(idx), "tombstones.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([live_doc], pa.int64()),
+                "upto_seg": pa.array([999], pa.int32()),
+                "is_delete": pa.array([False]),
+            }
+        ),
+        os.path.join(tdir, "orphan.parquet"),
+    )
+
+    snap = str(tmp_path / "race_snap")
+    snapshot_index(idx, snap)
+    dest = str(tmp_path / "race_restored")
+    restore_index(snap, dest)
+    restored_ids = {d for d, _ in _top(spark, dest, ["data", "merge"])}
+    assert live_doc in restored_ids  # orphan tombstone filtered out
+    assert deleted_doc not in restored_ids  # committed delete honored
