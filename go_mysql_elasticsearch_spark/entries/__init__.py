@@ -24,6 +24,8 @@ _PRIORITY = [
     # new in round 5
     "alias_query",
     "template_settings",
+    "put_settings_dynamic",
+    "get_mapping",
     "pipeline_mov_avg_holt_winters",
     # changed in round 5 → re-record
     "script_query",

@@ -85,6 +85,69 @@ def q_template_settings(spark, sf_dir):
     return bm25_topk(spark, reader, TPL_TERMS, k=10, mode="or")
 
 
+# indices_put_settings: dynamic scoring knobs updated AFTER build
+DYN_K1, DYN_B = 0.9, 0.3
+DYN_TERMS = ["query", "batch"]
+# fields present in both the docstore and the oracle's documents view —
+# the type mapping is gated over these; build-derived (dl) and
+# synthesized (url, warc_ts) fields are pytest-covered
+MAPPING_FIELDS = ["doc_id", "lang", "text"]
+
+
+def q_put_settings_dynamic(spark, sf_dir):
+    """Dynamic settings update on a live index
+    (indices_put_settings.go): BM25 k1/b are query-time knobs in this
+    engine (postings store raw tf/dl), so put_settings takes effect on
+    the NEXT reader open with no reindex — the entry updates them after
+    the build and the query must score with the updated parameters
+    (the oracle uses the same k1/b). Static analyzer settings are
+    rejected (ES parity), tests/test_indices.py."""
+    from ..analyzer import extract_text_udf
+    from ..index.indices import put_settings
+    from ..webpages import webpages
+
+    key = os.path.abspath(sf_dir)
+    idx = os.path.join(
+        IDX_CACHE_ROOT, f"dyn-docs-{_tag(key, INDEX_FORMAT_VERSION)}"
+    )
+    ingest = webpages(spark, sf_dir).select(
+        "doc_id", extract_text_udf("html").alias("text")
+    )
+    build_index(spark, ingest, idx, n_segments=1, n_shards=4)
+    put_settings(idx, {"bm25_k1": DYN_K1, "bm25_b": DYN_B})
+    reader = IndexReader(spark, idx)
+    assert reader.settings["bm25_k1"] == DYN_K1
+    return bm25_topk(spark, reader, DYN_TERMS, k=10, mode="or")
+
+
+def q_get_mapping(spark, sf_dir):
+    """Mapping introspection (indices_get_mapping.go): (field, es_type)
+    rows derived from the docstore schema — the engine's mapping IS the
+    schema (S8/S10 schema-on-read). The oracle derives the same rows
+    from DuckDB's DESCRIBE over the same parquet, so the Spark-type →
+    ES-type mapping is value-gated, not asserted by hand."""
+    from ..index.indices import get_mapping
+
+    rows = [
+        (f, t) for f, t in get_mapping(index_for(spark, sf_dir))
+        if f in MAPPING_FIELDS
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "field string, es_type string"
+    )
+
+
+_IN = ", ".join(f"'{f}'" for f in MAPPING_FIELDS)
+_GET_MAPPING_SQL = f"""SELECT column_name AS field,
+  CASE column_type
+    WHEN 'BIGINT' THEN 'long' WHEN 'INTEGER' THEN 'integer'
+    WHEN 'VARCHAR' THEN 'text' WHEN 'DOUBLE' THEN 'double'
+    WHEN 'TIMESTAMP' THEN 'date' WHEN 'BLOB' THEN 'binary'
+    ELSE lower(column_type) END AS es_type
+FROM (DESCRIBE documents) WHERE column_name IN ({_IN})
+ORDER BY field"""
+
+
 ENTRIES = {
     "alias_query": (
         q_alias_query,
@@ -94,4 +157,9 @@ ENTRIES = {
         q_template_settings,
         bm25_oracle_sql(TPL_TERMS, mode="or", k=10, k1=TPL_K1, b=TPL_B),
     ),
+    "put_settings_dynamic": (
+        q_put_settings_dynamic,
+        bm25_oracle_sql(DYN_TERMS, mode="or", k=10, k1=DYN_K1, b=DYN_B),
+    ),
+    "get_mapping": (q_get_mapping, _GET_MAPPING_SQL),
 }

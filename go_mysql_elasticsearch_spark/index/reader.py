@@ -22,6 +22,12 @@ class IndexReader:
 
         self.spark = spark
         self.index_dir = index_dir
+        # closed indexes refuse readers (indices_close.go parity —
+        # index/indices.py close_index/open_index)
+        from .indices import CLOSED_MARKER, IndexClosedError
+
+        if os.path.exists(os.path.join(index_dir, CLOSED_MARKER)):
+            raise IndexClosedError(f"index is closed: {index_dir}")
         # all index artifacts live under the current GENERATION root
         # (compact() swaps generations by atomic pointer flip)
         self.root = gen_root(index_dir)
