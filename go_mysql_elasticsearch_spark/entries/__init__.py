@@ -27,6 +27,10 @@ _PRIORITY = [
     "put_settings_dynamic",
     "get_mapping",
     "pipeline_mov_avg_holt_winters",
+    "ann_pq",
+    "dedup_units",
+    "quality_perplexity",
+    "gopher_quality",
     # changed in round 5 → re-record
     "script_query",
     "script_fields",

@@ -5,11 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..analyzer import duckdb_tokens_sql
 from ..pipeline import clean as C
 from ..pipeline import dedup as D
 from ..pipeline import similarity as S
 from ..pipeline import textstats as T
+from ..pipeline.curation import dedup_units_sql
+from ..pipeline.quality import gopher_quality_sql, unigram_perplexity_sql
 from ..registry import index_for
+
+_TOKENS_SQL = duckdb_tokens_sql("text")
 
 
 def _docs(spark, sf_dir):
@@ -183,6 +188,125 @@ WHERE a.vec_id <> 0
 ORDER BY cos DESC, a.vec_id ASC LIMIT {k}""".strip()
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (pipeline/pq.py): per-subspace
+    deterministic codebooks, persisted code table, driver-side ADC LUT
+    inlined as plan literals (pure-Catalyst distance projection — no
+    join, no Python), top-R by rounded ADC, exact cosine re-rank. The
+    oracle replays training + encoding + ADC in SQL
+    (:func:`pq_oracle_sql`)."""
+    import hashlib
+    import os
+
+    from ..pipeline import pq as P
+    from ..registry import IDX_CACHE_ROOT
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(IDX_CACHE_ROOT, f"pq28r5-{os.path.basename(sf_dir)}-{tag}")
+    codes, cbs = P.build_pq_index(spark, _emb(spark, sf_dir), path, m=2, ks=8, iters=2)
+    return P.pq_ann_topk(_emb(spark, sf_dir), codes, cbs, 0, k=5, rerank=20)
+
+
+def pq_oracle_sql(m: int = 2, ks: int = 4, iters: int = 2, dim: int = 64,
+                  k: int = 5, rerank: int = 20, qid: int = 0) -> str:
+    """DuckDB twin of the WHOLE PQ path: per-subspace seedless Lloyd
+    (same unroll recipe as :func:`ivf_oracle_sql`, on v[lo:hi] slices —
+    every subspace seeds from the same ks smallest-md5 vec_ids),
+    argmin encoding, ADC via per-subspace LUTs (round(·,6) before the
+    top-R cut, matching the Spark side), exact cosine re-rank."""
+    sublen = dim // m
+    parts = ["""emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""]
+    code_cols, lut_joins = [], []
+    for j in range(m):
+        lo, hi = j * sublen + 1, (j + 1) * sublen
+        sv = f"e.v[{lo}:{hi}]"
+        d2 = (f"list_dot_product({sv}, {sv}) - 2 * list_dot_product({sv}, c.c)"
+              " + list_dot_product(c.c, c.c)")
+        parts.append(f"""s{j}c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v[{lo}:{hi}] AS c
+  FROM (SELECT vec_id, v, md5(vec_id::VARCHAR) AS h FROM emb0
+        ORDER BY h, vec_id LIMIT {ks})
+)""")
+        for it in range(iters):
+            parts.append(f"""s{j}a{it} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM emb0 e CROSS JOIN s{j}c{it} c
+  ) WHERE rn = 1
+)""")
+            parts.append(f"""s{j}m{it} AS (
+  SELECT cell, list(mv ORDER BY i) AS c FROM (
+    SELECT cell, i, avg((v[{lo}:{hi}])[i]) AS mv FROM s{j}a{it}, range(1, {sublen + 1}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+            parts.append(f"""s{j}c{it + 1} AS (
+  SELECT p.cell, coalesce(m.c, p.c) AS c FROM s{j}c{it} p LEFT JOIN s{j}m{it} m USING (cell)
+)""")
+        parts.append(f"""codes{j} AS (
+  SELECT vec_id, cell AS code{j} FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM emb0 e CROSS JOIN s{j}c{iters} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""lut{j} AS (
+  SELECT c.cell,
+         list_dot_product(q.qv[{lo}:{hi}], q.qv[{lo}:{hi}])
+         - 2 * list_dot_product(q.qv[{lo}:{hi}], c.c)
+         + list_dot_product(c.c, c.c) AS d
+  FROM s{j}c{iters} c, q
+)""")
+        code_cols.append(f"codes{j}")
+        lut_joins.append(f"JOIN lut{j} ON lut{j}.cell = codes0.code{j}"
+                         if j == 0 else
+                         f"JOIN lut{j} ON lut{j}.cell = codes{j}.code{j}")
+    parts.insert(1, f"q AS (SELECT v AS qv FROM emb0 WHERE vec_id = {qid})")
+    codes_join = code_cols[0] + "".join(f" JOIN {c} USING (vec_id)" for c in code_cols[1:])
+    adc_sum = " + ".join(f"lut{j}.d" for j in range(m))
+    parts.append(f"""cand AS (
+  SELECT codes0.vec_id, round({adc_sum}, 6) AS adc
+  FROM {codes_join} {' '.join(lut_joins)}
+  WHERE codes0.vec_id <> {qid}
+  ORDER BY adc ASC, codes0.vec_id ASC LIMIT {rerank}
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT cand.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM cand JOIN emb0 e USING (vec_id) CROSS JOIN q
+ORDER BY cos DESC, cand.vec_id ASC LIMIT {k}""".strip()
+
+
+def q_dedup_units(spark, sf_dir):
+    """C4-style duplicate-unit removal (sentence units): corpus-wide
+    unit counts on uniform 60-bit hashes, per-doc dup accounting +
+    ordered re-assembly of the kept units."""
+    from ..pipeline.curation import dedup_units
+
+    return dedup_units(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity (CCNet-shape quality gate, pipeline/
+    quality.py): one vocabulary agg + one token→probability join + one
+    per-doc mean-of-logs; no UDFs, no driver data."""
+    from ..pipeline.quality import unigram_perplexity
+
+    return unigram_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule battery (Rae et al. 2021 A1.1): word count, mean
+    word length, alphabetic fraction, stopword evidence → pass/fail,
+    as ONE shuffle-free Catalyst projection."""
+    from ..pipeline.quality import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline, input
     bounded by max_id — the oracle shape the LSH path is checked
@@ -335,6 +459,7 @@ FROM e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     ),
     "ann_ivf": (q_ann_ivf, ivf_oracle_sql(nlist=8, iters=2, dim=64, k=5, n_probe=2)),
+    "ann_pq": (q_ann_pq, pq_oracle_sql(m=2, ks=8, iters=2, dim=64, k=5, rerank=20)),
     "ann_lsh": (
         q_ann_lsh,
         f"""WITH {_AUG_SQL},
@@ -376,6 +501,18 @@ ORDER BY a ASC, b ASC""",
     ),
     "text_lang_id": (q_lang_id, T.LANG_ID_SQL),
     "text_quality": (q_quality, T.QUALITY_SQL),
+    "dedup_units": (
+        q_dedup_units,
+        dedup_units_sql() + " ORDER BY doc_id",
+    ),
+    "quality_perplexity": (
+        q_quality_perplexity,
+        unigram_perplexity_sql(_TOKENS_SQL) + " ORDER BY doc_id",
+    ),
+    "gopher_quality": (
+        q_gopher_quality,
+        gopher_quality_sql(_TOKENS_SQL) + " ORDER BY doc_id",
+    ),
     "text_token_counts": (q_token_counts, T.TOKEN_COUNTS_SQL),
     "text_fingerprint": (q_fingerprint, T.FINGERPRINT_SQL),
     "corpus_clean_stats": (

@@ -222,6 +222,70 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate-unit removal (C4 / Dolma line-level dedup, sentence units)
+# ---------------------------------------------------------------------------
+
+UNIT_SEP = r"\. "  # sentence units; web pipelines use newline units
+
+
+def dedup_units(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """C4-style duplicate-line removal at sentence granularity (the
+    fixture corpus has no newlines; the published pipelines — C4
+    §2.2, Dolma — drop any LINE occurring ≥3 (C4) or ≥2 times in the
+    corpus; the unit separator is a parameter of the same shape).
+    Returns (doc_id, n_units, n_dup_units, cleaned) where ``cleaned``
+    re-joins only the units whose corpus-wide count < min_count.
+
+    Spark shape at 100 TB: posexplode(units) → groupBy(h60(unit))
+    count (uniform 60-bit keys, map-side combined) → join back →
+    groupBy(doc_id) ordered re-assembly. Two shuffles, both on uniform
+    keys; text travels once."""
+    units = docs.select(
+        "doc_id", F.posexplode(F.split("text", UNIT_SEP)).alias("pos", "u")
+    ).where(F.length("u") > 0)
+    counts = units.groupBy(h60(F.col("u")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tagged = units.withColumn("h", h60(F.col("u"))).join(counts, "h")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum((F.col("n") >= min_count).cast("long")).alias("n_dup_units"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("n") < min_count, F.struct("pos", "u"))
+                        )
+                    ),
+                    lambda s: s["u"],
+                ),
+                ". ",
+            ).alias("cleaned"),
+        )
+    )
+
+
+def dedup_units_sql(table: str = "documents", min_count: int = 2) -> str:
+    """DuckDB twin — same h60 unit hash, same ordered re-assembly."""
+    h = "cast(('0x' || substr(md5(u), 1, 15)) AS BIGINT)"
+    return f"""WITH units AS (
+  SELECT doc_id, pos, u FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS u,
+           generate_subscripts(regexp_split_to_array(text, '\\. '), 1) AS pos
+    FROM {table}
+  ) WHERE length(u) > 0
+),
+cnt AS (SELECT {h} AS hh, count(*)::BIGINT AS n FROM units GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_units,
+       sum(CASE WHEN n >= {min_count} THEN 1 ELSE 0 END)::BIGINT AS n_dup_units,
+       coalesce(string_agg(CASE WHEN n < {min_count} THEN u END, '. ' ORDER BY pos), '') AS cleaned
+FROM units JOIN cnt ON {h} = hh
+GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # domain mixture sampling
 # ---------------------------------------------------------------------------
 
