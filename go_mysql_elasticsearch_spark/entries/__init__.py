@@ -31,6 +31,7 @@ _PRIORITY = [
     "dedup_units",
     "quality_perplexity",
     "gopher_quality",
+    "png_image_features",
     # changed in round 5 → re-record
     "script_query",
     "script_fields",

@@ -753,8 +753,46 @@ SELECT doc_id, 8 AS width, 8 AS height,
        round(sqrt(mg2 - mg * mg), 6) AS std_gray
 FROM a ORDER BY doc_id"""
 
+def _png_corpus(spark, sf_dir):
+    """Same closed-form 8x8 pixels as the PPM fixture, but packed as
+    REAL PNG (chunked container, zlib IDAT, per-row filters cycling
+    through all five types 0-4) — the decoder must walk chunks,
+    inflate and UNFILTER to reproduce the oracle's arithmetic. A bug
+    in any filter reconstructor breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_png
+
+    def make(batches):
+        for pdf in batches:
+            imgs = [
+                encode_png(((int(d) * 31 + np.arange(192)) % 256)
+                           .astype(np.uint8).reshape(8, 8, 3),
+                           filters=[0, 1, 2, 3, 4])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, img binary")
+
+
+def q_png_image_features(spark, sf_dir):
+    """REAL PNG decode + feature extraction (pipeline/multimodal.py
+    decode_png: chunk walk → zlib inflate → all-five-filters
+    unfiltering), then the same Arrow-batched feature kernel as the
+    netpbm path."""
+    from ..pipeline.multimodal import image_features
+
+    return image_features(_png_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
+
+
 ENTRIES.update({
     "image_features": (q_image_features, _IMAGE_FEATURES_SQL),
+    # identical oracle: the pixels are the same closed form — only the
+    # container (and therefore the engine-side decode work) differs
+    "png_image_features": (q_png_image_features, _IMAGE_FEATURES_SQL),
 })
 
 

@@ -65,15 +65,19 @@ def decode_image(b: bytes) -> "np.ndarray":
     then a raw big-endian pixel payload. Returns uint8 ndarray of shape
     (h, w, 3) for P6 or (h, w) for P5.
 
-    Compressed formats (PNG/JPEG) would plug in here via PIL — the
-    container ships no codecs, so those branches raise. The Spark-side
+    PNG is decoded for REAL below (:func:`decode_png` — deflate is
+    stdlib zlib; filters are numpy); JPEG still raises honestly (the
+    container ships no entropy-decode/IDCT codec). The Spark-side
     plumbing (schemas, Arrow batching, bytes-bounded partitions) is
-    identical either way, and the PPM path end-to-end gates the decode
-    kernel for real (entries image_features / image_stats)."""
+    identical either way, and both the PPM and PNG paths are
+    value-hash gated end-to-end (entries image_features /
+    png_image_features)."""
     if not b:
         raise ValueError("empty image payload")
-    if b[:2] in (b"\x89P", b"\xff\xd8"):
-        raise NotImplementedError("PNG/JPEG need a codec library (PIL) — not in this container")
+    if b[:2] == b"\x89P":
+        return decode_png(b)  # real PNG decode below — stdlib zlib only
+    if b[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG needs a codec library (PIL) — not in this container")
     if b[:2] not in (b"P6", b"P5"):
         raise ValueError(f"unsupported image magic {b[:2]!r}")
     # header: magic, width, height, maxval — tokens separated by
@@ -104,6 +108,151 @@ def encode_ppm(px: "np.ndarray") -> bytes:
     used by fixtures and the round-trip property test."""
     h, w = px.shape[0], px.shape[1]
     return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+# --- PNG: real decode/encode, stdlib zlib + numpy, no codec library ---------
+#
+# PNG (RFC 2083) is deflate-compressed filtered scanlines in a chunked
+# container — all of which the standard library covers: zlib for the
+# IDAT stream and CRCs, numpy for the pixel math. Supported: 8-bit,
+# color types 0 (grayscale) and 2 (RGB), non-interlaced — the shape a
+# web-scale image pipeline normalizes to anyway. JPEG stays an honest
+# NotImplementedError (entropy decode + IDCT is a codec library's job).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(b: bytes) -> "np.ndarray":
+    """Parse chunks, inflate IDAT, undo per-row filters (all five:
+    None/Sub/Up/Average/Paeth). Returns uint8 (h, w, 3) for RGB or
+    (h, w) for grayscale."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos:pos + 4], "big")
+        ctype = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} unsupported "
+            "(8-bit gray/RGB non-interlaced only)"
+        )
+    ch = 3 if color == 2 else 1
+    raw = zlib.decompress(b"".join(idat))
+    rowbytes = w * ch
+    if len(raw) != h * (rowbytes + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for r in range(h):
+        line = raw[r * (rowbytes + 1): (r + 1) * (rowbytes + 1)]
+        f, cur = line[0], np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            rec = np.zeros(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                a = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if f == 1:
+                    rec[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (cur[i] + ((a + up) >> 1)) & 0xFF
+                elif f == 4:
+                    rec[i] = (cur[i] + _paeth(a, up, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape((h, w, ch))
+    return px if ch == 3 else px.reshape((h, w))
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + ctype + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(px: "np.ndarray", filters: list[int] | None = None) -> bytes:
+    """Inverse of :func:`decode_png` for uint8 (h, w, 3) or (h, w)
+    arrays. ``filters`` optionally pins the per-row filter type (0-4) —
+    the fixtures cycle through all five so the decoder's unfiltering is
+    value-hash gated, not just the happy filter-0 path."""
+    import zlib
+
+    a3 = px if px.ndim == 3 else px.reshape(px.shape[0], px.shape[1], 1)
+    h, w, ch = a3.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_png supports 1 or 3 channels")
+    color = 2 if ch == 3 else 0
+    flat = a3.astype(np.int32).reshape(h, w * ch)
+    rowbytes = w * ch
+    lines = bytearray()
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r]
+        f = filters[r % len(filters)] if filters else 0
+        if f == 0:
+            enc = cur & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            enc = np.zeros(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                a = int(cur[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if f == 1:
+                    enc[i] = (cur[i] - a) & 0xFF
+                elif f == 3:
+                    enc[i] = (cur[i] - ((a + up) >> 1)) & 0xFF
+                elif f == 4:
+                    enc[i] = (cur[i] - _paeth(a, up, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        lines.append(f)
+        lines.extend(int(x) for x in enc)
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 IMG_FEAT_SCHEMA = (

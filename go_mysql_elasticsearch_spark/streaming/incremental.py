@@ -56,24 +56,55 @@ def apply_changes(
     n_shards: int = 8,
 ) -> dict | None:
     """Apply one change batch; returns the new segment's manifest (or
-    None for a delete-only batch)."""
-    changes = changes.cache()
+    None for a delete-only batch).
+
+    Within-batch ordering: binlog events are ORDERED, and a batch may
+    touch the same PK several times (update;update / update;delete —
+    the reference replays events sequentially, canal/sync.go). A
+    segment build is one atomic write, so the batch first collapses to
+    the LAST event per doc_id — otherwise two updates of one doc land
+    as two live rows in the new segment (both outrank the tombstone)
+    and the doc is silently duplicated (caught by the model-based CDC
+    test, tests/test_cdc_model.py seed 47). Event order = input row
+    order (``monotonically_increasing_id`` is partition-major, which
+    preserves the order of a binlog-reader's stream); callers with an
+    explicit log position can pre-sort. The collapse is one
+    batch-sized window shuffle — negligible next to the segment build.
+    """
+    from pyspark.sql import Window
+
+    changes = (
+        changes.withColumn("_seq", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("_seq"))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+        .cache()
+    )
     try:
         new_seg = _next_segment_id(index_dir)
-        # 1. tombstone old versions of updated/deleted docs (postings in
-        #    segments < new_seg die; the re-added doc lives in new_seg)
-        #    is_delete marks rows whose batch adds NO replacement doc —
-        #    snapshot_index uses it to tell "delete" (keep: references
-        #    no segment) from "upsert whose segment isn't pinned" (drop:
-        #    the replacement missed the snapshot, old version stays live)
-        dead = changes.where(F.col("action").isin("update", "delete")).select(
+        # 1. tombstone EVERY doc_id the batch touches (postings in
+        #    segments < new_seg die; the re-added doc lives in new_seg).
+        #    Insert-only keys tombstone harmlessly (no older version),
+        #    and covering them makes delete→reinsert-in-one-batch
+        #    correct. is_delete marks rows whose batch adds NO
+        #    replacement doc — snapshot_index uses it to tell "delete"
+        #    (keep: references no segment) from "upsert whose segment
+        #    isn't pinned" (drop: the replacement missed the snapshot,
+        #    old version stays live)
+        dead = changes.select(
             "doc_id",
             F.lit(new_seg - 1).cast("int").alias("upto_seg"),
             (F.col("action") == "delete").alias("is_delete"),
         )
         if not dead.isEmpty():
             dead.write.mode("append").parquet(os.path.join(gen_root(index_dir), "tombstones.parquet"))
-        # 2. new segment from inserted/updated docs
+        # 2. new segment from the batch-final state of inserted/updated
+        #    docs
         docs = changes.where(F.col("action").isin("insert", "update")).select(
             *[c for c in DOC_COLS if c in changes.columns]
         )

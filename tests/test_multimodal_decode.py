@@ -7,7 +7,12 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_image, encode_ppm
+from go_mysql_elasticsearch_spark.pipeline.multimodal import (
+    decode_image,
+    decode_png,
+    encode_png,
+    encode_ppm,
+)
 
 
 @given(
@@ -36,7 +41,8 @@ def test_pgm_grayscale():
 
 
 def test_codec_formats_raise_honestly():
-    with pytest.raises(NotImplementedError, match="codec"):
+    # truncated PNG: routed to the real decoder, which fails loud
+    with pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\xff\xd8\xff\xe0....")
@@ -44,6 +50,36 @@ def test_codec_formats_raise_honestly():
         decode_image(b"")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a....")
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_roundtrip_all_filters(w, h, seed, filters):
+    """encode→decode is the identity for every per-row filter mix —
+    the unfiltering reconstructors (Sub/Up/Average/Paeth) are each
+    exercised by the cycling filter list."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filters=filters)), px)
+    # grayscale path too
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, filters=filters)), g)
+
+
+def test_png_routed_through_decode_image_and_limits():
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image(encode_png(px, filters=[4])), px)
+    # unsupported shapes fail loud, not wrong
+    bad_ihdr = encode_png(px)[:8] + b"\x00\x00\x00\x0dIHDR" + (
+        (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    ) + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_png(bad_ihdr + b"\x00\x00\x00\x00IDATxxxx\x00\x00\x00\x00IEND" + b"\x00" * 4)
 
 
 @given(
