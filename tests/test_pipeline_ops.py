@@ -89,8 +89,12 @@ def test_binary_metadata_and_fake_features(spark):
 
 
 def test_decode_stub_raises():
+    # JPEG remains an honest stub; PNG is decoded for REAL since round
+    # 5 (a truncated payload fails loud in the real decoder)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG....")
+        M.decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(ValueError, match="IHDR"):
+        M.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_fingerprint_order_sensitive(spark):
