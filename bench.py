@@ -214,6 +214,10 @@ def main() -> None:
 
     per_query, lat_stats = query_latency(spark, SF_DIR)
     big_queries, big_stats, big_n = big_index_latency(spark, SF_DIR, REPLICATE)
+    # the serving phases turn AQE off for their session (open_serving);
+    # builds are measured with AQE on, matching the scale probes (fresh
+    # JVMs, default conf) and every prior round's recording
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     build = build_throughput(CPUS, SF_DIR, REPLICATE)
     spark.stop()  # free the JVM before the scaling probes measure
 
