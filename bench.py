@@ -123,6 +123,11 @@ def _timed_queries(spark, reader, queries: dict) -> tuple[dict, dict]:
     def run(spec):
         if spec[0] == "phrase":
             return match_phrase(spark, reader, spec[1], k=10).collect()
+        if spec[0] == "phrase_dist":
+            # positional path forced shard-parallel — the 10^12-doc
+            # phrase serving shape, recorded like qb_or2_dist
+            return match_phrase(spark, reader, spec[1], k=10,
+                                strategy="distributed").collect()
         if spec[0] == "dist":
             # forced shard-parallel path: the 10^12-doc serving shape,
             # benchmarked so the scale path's latency is on record too
@@ -177,9 +182,12 @@ BIG_HEADLINE = {
     "qb_or2": (["data", "merge"], "or"),
     "qb_and2": (["dup", "scan"], "and"),
     "qb_phrase": ("phrase", "hash join"),
-    # same query as qb_or2 but forced onto the distributed path — the
+    # same queries forced onto the distributed path — the
     # driver/distributed latency gap at this scale, measured not argued
     "qb_or2_dist": ("dist", ["data", "merge"], "or"),
+    # ADDITIVE key (round 5): the positional path's forced-distributed
+    # twin; all pre-existing keys unchanged
+    "qb_phrase_dist": ("phrase_dist", "hash join"),
 }
 
 

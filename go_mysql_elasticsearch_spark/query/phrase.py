@@ -294,11 +294,15 @@ def _positional_hits(
     prefix_tids: list[int] | None = None,
     slop: int = 0,
     topk: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame | None:
     """Shared engine: DataFrame(doc_id, raw) of docs matching the chain
     (+optional prefix continuation), scored over score_words. Returns
     None when the index predates positional payloads (legacy fallback).
-    Empty-result short-circuits return an empty frame."""
+    Empty-result short-circuits return an empty frame. ``strategy``
+    mirrors bm25_topk: 'auto' (byte-estimate cutover), 'driver',
+    'distributed' — the forced paths exist so both serving shapes are
+    benchmarked per round (qb_phrase / qb_phrase_dist)."""
     from .wand import DRIVER_PATH_MAX_BYTES, term_ids
 
     if "pos_vb" not in reader.postings().columns:
@@ -332,7 +336,11 @@ def _positional_hits(
         frozenset(prefix_tids) if prefix_tids else None, slop,
     )
     est_bytes = sum(dfs.get(t, 0) for t in all_tids) * reader.bytes_per_posting
-    if not big_tombs and est_bytes <= DRIVER_PATH_MAX_BYTES:
+    use_driver = not big_tombs and (
+        strategy == "driver"
+        or (strategy == "auto" and est_bytes <= DRIVER_PATH_MAX_BYTES)
+    )
+    if use_driver:
         pdf = matched.toPandas()
         frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
         hits = pd.concat(frames, ignore_index=True) if frames else _EMPTY
@@ -352,13 +360,15 @@ def _positional_hits(
 
 
 def match_phrase(
-    spark: SparkSession, reader: IndexReader, phrase: str, k: int = 10, slop: int = 0
+    spark: SparkSession, reader: IndexReader, phrase: str, k: int = 10, slop: int = 0,
+    strategy: str = "auto",
 ) -> DataFrame:
     pattern = getattr(reader, "settings", {}).get("token_pattern", TOKEN_PATTERN)
     words = phrase_words(phrase, pattern)
     if not words:
         return spark.createDataFrame([], "doc_id long, score double")
-    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)), slop=slop, topk=k)
+    hits = _positional_hits(spark, reader, words, list(dict.fromkeys(words)), slop=slop,
+                            topk=k, strategy=strategy)
     if hits is None:  # legacy index without positions: docstore verify
         if slop:
             raise NotImplementedError("slop requires a positional index")

@@ -315,6 +315,19 @@ def test_serving_mode_no_per_query_exchange(spark, tmp_path):
         r.close_serving()
 
 
+def test_phrase_distributed_matches_driver_path(spark, reader):
+    """Forced-distributed phrase results are identical to the driver
+    path (same cutover contract as bm25_topk strategy)."""
+    from go_mysql_elasticsearch_spark.query.phrase import match_phrase
+
+    for phrase, slop in (("hash join", 0), ("customer merge customer", 2)):
+        a = [tuple(x) for x in match_phrase(spark, reader, phrase, k=5, slop=slop,
+                                            strategy="driver").collect()]
+        b = [tuple(x) for x in match_phrase(spark, reader, phrase, k=5, slop=slop,
+                                            strategy="distributed").collect()]
+        assert a == b and a, (phrase, a, b)
+
+
 def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark n-gram set must be the BROADCAST side — corpus
     text never shuffles for decontamination."""
