@@ -52,6 +52,10 @@ SCALE_CORES = (1, 4)
 # below it (neighbor-load hardening, VERDICT r4 #2)
 SCALE_TARGET = 0.8
 SCALE_RETRIES = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "2"))
+# a pair starting above this 1-min load average is flagged as
+# neighbor-contaminated and excluded from the headline mean (the
+# machine has 32 hardware threads; ~8 is light background)
+SCALE_QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "8"))
 
 HEADLINE = {
     "q_or2": (["data", "merge"], "or"),
@@ -169,7 +173,13 @@ def query_latency(spark, sf_dir: str) -> tuple[dict, dict]:
     # shard residency: co-partitioned + cached postings, so distributed
     # queries run with no per-query Exchange (index/reader.py)
     reader.open_serving()
-    return _timed_queries(spark, reader, HEADLINE)
+    try:
+        return _timed_queries(spark, reader, HEADLINE)
+    finally:
+        # release the residency memory + restore AQE before the
+        # big-index phase builds (code-review r5: the 128x build must
+        # not run with another index's cache resident and AQE off)
+        reader.close_serving()
 
 
 # Big-index query set: the replicated (~640k-doc) corpus, where WAND
@@ -253,17 +263,24 @@ def main() -> None:
         }
 
     # threshold re-probe (VERDICT r4 #2): a below-0.8 pair triggers up
-    # to SCALE_RETRIES fresh pairs; the best pair is the headline and
-    # every attempt stays in the artifact
+    # to SCALE_RETRIES fresh pairs; every attempt stays in the
+    # artifact. Headline = MEAN over the QUIET attempts (load average
+    # below SCALE_QUIET_LOAD at pair start) — max-of-N on a one-sided
+    # retry trigger would bias the estimate upward, while contaminated
+    # pairs bias it in unpredictable directions (the efficiency is a
+    # ratio of two runs contaminated unequally); averaging the
+    # uncontaminated samples is the unbiased estimator (code-review
+    # r5). Falls back to the mean of all attempts if none were quiet.
     attempts = [probe_pair()]
     for _ in range(SCALE_RETRIES):
         if attempts[-1]["efficiency"] >= SCALE_TARGET:
             break
         attempts.append(probe_pair())
-    best = max(attempts, key=lambda a: a["efficiency"])
-    thr_n = best[f"local{SCALE_CORES[0]}_docs_per_sec"]
-    thr_4n = best[f"local{SCALE_CORES[1]}_docs_per_sec"]
-    efficiency = best["efficiency"]
+    quiet = [a for a in attempts if a["load_avg_1m_before"] < SCALE_QUIET_LOAD]
+    pool = quiet or attempts
+    thr_n = round(sum(a[f"local{SCALE_CORES[0]}_docs_per_sec"] for a in pool) / len(pool), 1)
+    thr_4n = round(sum(a[f"local{SCALE_CORES[1]}_docs_per_sec"] for a in pool) / len(pool), 1)
+    efficiency = round(sum(a["efficiency"] for a in pool) / len(pool), 3)
 
     result = {
         "metric": "bm25_topk_query_p50",

@@ -518,21 +518,34 @@ class _SqlExpr:
         return _SqlExpr(f"({self.s} / {self._t(o)})")
 
 
-def _hw_steps(ref):
+def _hw_steps():
     """The additive Holt-Winters unroll as (name, expr-builder) steps,
     shared shape between the Spark chain and the SQL twin so both
-    engines perform the SAME float ops in the SAME order. ``ref`` turns
-    a column name into an expression handle (F.col | _SqlExpr)."""
+    engines perform the SAME float ops in the SAME order (each builder
+    takes the column-handle factory: F.col | _SqlExpr). Seeds are
+    derived from HW_PERIOD, not hardcoded, so changing the period knob
+    changes the whole unroll consistently (code-review r5)."""
     a, bt, g, p = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
     steps = []
+
     # seeds: level = first-season mean; trend = mean cross-season slope
     # (sum((x[i+p]-x[i])/p)/p); seasonal index c_i = x_i - level
-    steps.append(("s3", lambda c: (c("x1") + c("x2") + c("x3")) / 3.0))
-    steps.append(
-        ("b3", lambda c: ((c("x4") - c("x1")) + (c("x5") - c("x2")) + (c("x6") - c("x3"))) / 9.0)
-    )
-    for i in (1, 2, 3):
-        steps.append((f"c{i}", lambda c, i=i: c(f"x{i}") - c("s3")))
+    def _level(c, p=p):
+        e = c("x1")
+        for i in range(2, p + 1):
+            e = e + c(f"x{i}")
+        return e / float(p)
+
+    def _trend(c, p=p):
+        e = c(f"x{p + 1}") - c("x1")
+        for i in range(2, p + 1):
+            e = e + (c(f"x{i + p}") - c(f"x{i}"))
+        return e / float(p * p)
+
+    steps.append((f"s{p}", _level))
+    steps.append((f"b{p}", _trend))
+    for i in range(1, p + 1):
+        steps.append((f"c{i}", lambda c, i=i: c(f"x{i}") - c(f"s{p}")))
     # recursion over the second season
     for i in range(p + 1, 2 * p + 1):
         pv = i - 1
@@ -567,7 +580,7 @@ def q_mov_avg_holt_winters(spark, sf_dir):
     projection — no UDF, no iteration state. Incomplete windows emit
     NULL."""
     h = _lagged_hourly(spark, sf_dir, n=HW_WINDOW)
-    for name, fn in _hw_steps(F.col):
+    for name, fn in _hw_steps():
         h = h.withColumn(name, fn(F.col))
     return h.select(
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -579,7 +592,7 @@ def _holt_winters_sql() -> str:
     q = _lagged_sql(HW_WINDOW).format(hourly=_HOURLY_SQL)
     prev = "lg"
     sref = lambda n: _SqlExpr(n)  # noqa: E731
-    for j, (name, fn) in enumerate(_hw_steps(sref)):
+    for j, (name, fn) in enumerate(_hw_steps()):
         q += f", hw{j} AS (SELECT *, {fn(sref).s} AS {name} FROM {prev})"
         prev = f"hw{j}"
     return (

@@ -132,10 +132,11 @@ def put_settings(index_dir: str, changes: dict) -> dict:
         raise ValueError(f"not dynamically updatable: {sorted(bad)}")
     root = gen_root(index_dir)
     path = os.path.join(root, "settings.json")
-    if not os.path.exists(path):
+    if not os.path.exists(path) and os.path.exists(os.path.join(index_dir, "settings.json")):
         path = os.path.join(index_dir, "settings.json")
-    with open(path) as f:
-        settings = json.load(f)
+    # an index built before settings persistence starts from the same
+    # defaults readers assume (get_settings parity — no FileNotFoundError)
+    settings = get_settings(index_dir)
     settings.update(changes)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -15,6 +15,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-session AQE refcount for serving mode (open_serving/close_serving):
+# {session: {"count": int, "before": str|None}}
+_AQE_STATE: dict = {}
+
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -155,8 +159,16 @@ class IndexReader:
         """
         if self._serving is None:
             if not keep_aqe:
-                self._aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                # session-wide refcount: overlapping serving readers
+                # must not restore AQE mid-serve or double-save "false"
+                # (code-review r5) — only the first open saves, only
+                # the last close restores
+                st = _AQE_STATE.setdefault(self.spark, {"count": 0, "before": None})
+                if st["count"] == 0:
+                    st["before"] = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+                    self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                st["count"] += 1
+                self._aqe_held = True
             n = n_parts or self.spark.sparkContext.defaultParallelism
             self._serving = (
                 self._union("postings.parquet")
@@ -171,9 +183,14 @@ class IndexReader:
         if self._serving is not None:
             self._serving.unpersist()
             self._serving = None
-        if getattr(self, "_aqe_before", None) is not None:
-            self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe_before)
-            self._aqe_before = None
+        if getattr(self, "_aqe_held", False):
+            self._aqe_held = False
+            st = _AQE_STATE.get(self.spark)
+            if st is not None:
+                st["count"] -= 1
+                if st["count"] <= 0:
+                    self.spark.conf.set("spark.sql.adaptive.enabled", st["before"] or "true")
+                    st["count"], st["before"] = 0, None
 
     def docstore(self) -> DataFrame:
         """Live stored fields: tombstoned (doc_id, segment ≤ upto_seg)
@@ -330,7 +347,11 @@ class IndexReader:
             return per_seg.groupBy("term").agg(
                 F.sum("df").cast("long").alias("df"), F.first("tid").alias("tid")
             ).select("term", "tid", "df")
-        seg_key = ",".join(sorted(str(m["segment_id"]) for m in self.manifests))
+        # "dfv2": round-5 semantics change (raw-union df, Lucene
+        # convention) — salts the tag so caches computed under the old
+        # tombstone-filtered derivation rebuild instead of serving
+        # stale df values (code-review r5)
+        seg_key = ",".join(sorted(str(m["segment_id"]) for m in self.manifests)) + "|dfv2"
         tag = _hl.sha1(seg_key.encode()).hexdigest()[:10]
         p = _os.path.join(self.root, f"term_strings-{tag}.parquet")
         if not _os.path.exists(_os.path.join(p, "_SUCCESS")):

@@ -18,8 +18,12 @@ are copied AFTER the segment set is pinned — so the copy can capture a
 tombstone whose replacement segment is NOT in the snapshot, silently
 dropping a live doc from the restored index. Step 3 therefore FILTERS
 tombstone rows: an upsert tombstone (is_delete=false) is kept only if
-its replacement segment (upto_seg + 1) is in the pinned set; a delete
-tombstone (is_delete=true) references no segment and is always kept.
+its replacement segment (upto_seg + 1) had COMMITTED by pin time —
+replacement ≤ max(pinned id), NOT set membership, because a
+replacement that was merged away still has committed content inside a
+pinned merged segment and dropping its tombstone would resurrect the
+old version beside it; a delete tombstone (is_delete=true) references
+no segment and is always kept.
 Rows from pre-marker parquet files (is_delete column absent → null)
 fall back to the membership rule — the no-data-loss direction; the
 only legacy artifact is that a trailing delete-only tombstone written
@@ -48,10 +52,17 @@ SNAP_MANIFEST = "snapshot.json"
 
 def _copy_tombstones_filtered(src: str, dst: str, pinned: set[int]) -> None:
     """Copy tombstone parquet files, dropping upsert tombstones whose
-    replacement segment (upto_seg + 1) is not in the pinned set (module
-    doc: the concurrent-upsert race). Streams per file via pyarrow —
-    never loads the whole tombstone set — so the copy stays file-local
-    at object-store scale just like the segment copies."""
+    replacement segment (upto_seg + 1) has NOT YET COMMITTED — i.e.
+    replacement > max(pinned) (module doc: the concurrent-upsert
+    race). The rule is a comparison against the pinned MAX, not set
+    membership: segment ids are monotonic and commit in order (single
+    writer), so replacement ≤ max(pinned) means the replacement
+    committed even when its id is no longer listed — a merged-away
+    segment's docs live on in a pinned merged segment, and dropping
+    its tombstone would resurrect the OLD version beside them
+    (duplicate doc). Streams per file via pyarrow — never loads the
+    whole tombstone set — so the copy stays file-local at object-store
+    scale just like the segment copies."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -60,15 +71,17 @@ def _copy_tombstones_filtered(src: str, dst: str, pinned: set[int]) -> None:
     if not files:
         return
     os.makedirs(dst, exist_ok=True)
-    pinned_arr = pa.array(sorted(pinned), type=pa.int64())
+    max_pinned = max(pinned) if pinned else -1
     for i, f in enumerate(files):
         t = pq.read_table(f)
         replacement = pc.add(pc.cast(t["upto_seg"], pa.int64()), 1)
-        keep_upsert = pc.fill_null(pc.is_in(replacement, value_set=pinned_arr), False)
+        keep_upsert = pc.fill_null(
+            pc.less_equal(replacement, pa.scalar(max_pinned, pa.int64())), False
+        )
         if "is_delete" in t.column_names:
             mask = pc.or_(pc.fill_null(t["is_delete"], False), keep_upsert)
         else:
-            # legacy files (pre is_delete): membership rule only
+            # legacy files (pre is_delete): committed-replacement rule only
             mask = keep_upsert
         t = t.filter(mask)
         if t.num_rows:

@@ -38,7 +38,10 @@ def unigram_perplexity(docs: DataFrame) -> DataFrame:
     is trained on the same corpus it scores — CCNet trains on a clean
     reference corpus instead; swap the counts frame to do that)."""
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # cached: the vocabulary agg is the expensive stage and feeds BOTH
+    # the total-sum action and the token→probability join — without the
+    # cache it would execute twice (code-review r5)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c")).cache()
     total = counts.agg(F.sum("c")).first()[0] or 1.0
     scored = toks.join(counts, "term").select(
         "doc_id", (F.log(F.col("c") / F.lit(float(total)))).alias("lp")

@@ -73,30 +73,32 @@ def apply_changes(
     """
     from pyspark.sql import Window
 
+    w = Window.partitionBy("doc_id")
     changes = (
         changes.withColumn("_seq", F.monotonically_increasing_id())
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.desc("_seq"))
-            ),
-        )
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.desc("_seq"))))
+        .withColumn("_n_ev", F.count(F.lit(1)).over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_seq")
         .cache()
     )
     try:
         new_seg = _next_segment_id(index_dir)
-        # 1. tombstone EVERY doc_id the batch touches (postings in
-        #    segments < new_seg die; the re-added doc lives in new_seg).
-        #    Insert-only keys tombstone harmlessly (no older version),
-        #    and covering them makes delete→reinsert-in-one-batch
-        #    correct. is_delete marks rows whose batch adds NO
-        #    replacement doc — snapshot_index uses it to tell "delete"
-        #    (keep: references no segment) from "upsert whose segment
-        #    isn't pinned" (drop: the replacement missed the snapshot,
-        #    old version stays live)
-        dead = changes.select(
+        # 1. tombstone keys that may have an older live version:
+        #    update/delete events, plus any key with SEVERAL events in
+        #    the batch (delete→reinsert collapses to a bare insert but
+        #    still needs the old version dead). A single plain insert
+        #    writes NO tombstone — an insert-only CDC stream (the
+        #    common case) must not grow the tombstone set by O(corpus)
+        #    (code-review r5 finding: that would flip every query onto
+        #    the big-tombstone sentinel path). is_delete marks rows
+        #    whose batch adds NO replacement doc — snapshot_index uses
+        #    it to tell "delete" (keep: references no segment) from
+        #    "upsert whose segment isn't pinned" (drop: the replacement
+        #    missed the snapshot, old version stays live)
+        dead = changes.where(
+            (F.col("_n_ev") > 1) | F.col("action").isin("update", "delete")
+        ).select(
             "doc_id",
             F.lit(new_seg - 1).cast("int").alias("upto_seg"),
             (F.col("action") == "delete").alias("is_delete"),

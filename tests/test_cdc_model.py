@@ -64,6 +64,43 @@ def _assert_equiv(spark, idx, model: dict[int, str], strict: bool):
         assert got == want, (terms, mode, got, want)
 
 
+def test_insert_only_batches_write_no_tombstones(spark, tmp_path):
+    """Code-review r5: an insert-only CDC stream must not grow the
+    tombstone set (O(corpus) tombstones would flip every query onto
+    the big-tombstone path); a same-batch delete→reinsert still
+    tombstones its key."""
+    idx = str(tmp_path / "ins_only")
+    build_index(
+        spark,
+        spark.createDataFrame([(0, "alpha")], "doc_id long, text string"),
+        idx, n_segments=1, n_shards=1,
+    )
+    apply_changes(
+        spark, idx,
+        spark.createDataFrame(
+            [("insert", 1, "beta"), ("insert", 2, "gamma")],
+            "action string, doc_id long, text string",
+        ),
+        n_shards=1,
+    )
+    r = IndexReader(spark, idx)
+    assert r.tombstones() is None or r.tombstones_count() == 0
+    # delete + reinsert of doc 0 in ONE batch: key must be tombstoned
+    apply_changes(
+        spark, idx,
+        spark.createDataFrame(
+            [("delete", 0, None), ("insert", 0, "alpha reborn")],
+            "action string, doc_id long, text string",
+        ),
+        n_shards=1,
+    )
+    r2 = IndexReader(spark, idx)
+    assert r2.tombstones_count() == 1
+    rows = r2.docstore().select("doc_id", "text").collect()
+    assert len(rows) == 3
+    assert {x["doc_id"]: x["text"] for x in rows}[0] == "alpha reborn"
+
+
 @pytest.mark.parametrize("seed", [11, 29, 47])
 def test_random_cdc_sequences_match_dict_model(spark, tmp_path, seed):
     rng = random.Random(seed)

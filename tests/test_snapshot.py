@@ -59,6 +59,41 @@ def test_snapshot_restore_pins_the_view(spark, tmp_path):
         restore_index(bad, str(tmp_path / "nope"))
 
 
+def test_snapshot_keeps_tombstone_when_replacement_merged_away(spark, tmp_path):
+    """Code-review r5 finding: an upsert tombstone whose replacement
+    segment was later MERGED AWAY (its id no longer pinned, its content
+    inside a pinned merged segment) must be copied — dropping it would
+    resurrect the old version beside the new one in the restore."""
+    from go_mysql_elasticsearch_spark.streaming.incremental import merge_segments
+
+    idx = str(tmp_path / "merge_snap_idx")
+    docs = spark.createDataFrame(
+        [(0, "alpha keep"), (1, "beta keep"), (2, "gamma keep")],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs, idx, n_segments=2, n_shards=1)
+    # upsert doc 0: tombstone (0, upto=1), replacement in seg 2
+    apply_changes(
+        spark,
+        idx,
+        spark.createDataFrame([("update", 0, "alpha replaced")],
+                              "action string, doc_id long, text string"),
+        n_shards=1,
+    )
+    # merge the replacement's segment away: content moves to a NEW id
+    reader = IndexReader(spark, idx)
+    ids = [m["segment_id"] for m in reader.manifests][:2]
+    merge_segments(spark, idx, ids, n_shards=1)
+
+    snap = str(tmp_path / "merge_snap")
+    snapshot_index(idx, snap)
+    dest = str(tmp_path / "merge_restored")
+    restore_index(snap, dest)
+    rows = IndexReader(spark, dest).docstore().select("doc_id", "text").collect()
+    assert len(rows) == 3  # no resurrected duplicate of doc 0
+    assert {r["doc_id"]: r["text"] for r in rows}[0] == "alpha replaced"
+
+
 def test_snapshot_concurrent_upsert_race_keeps_live_doc(spark, tmp_path):
     """ADVICE r4 (medium): a tombstone captured WITHOUT its replacement
     segment must not kill the doc in the restored index. Simulated by
