@@ -22,6 +22,8 @@ from __future__ import annotations
 # registry.build_queries occupy 4 of the driver's 50 slots.)
 _PRIORITY = [
     # new in round 5
+    "jpeg_image_features",
+    "flac_audio_features",
     "alias_query",
     "template_settings",
     "put_settings_dynamic",

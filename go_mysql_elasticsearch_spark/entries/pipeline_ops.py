@@ -788,11 +788,70 @@ def q_png_image_features(spark, sf_dir):
     return image_features(_png_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
 
 
+def _jpeg_corpus(spark, sf_dir):
+    """Deterministic 16x16 grayscale baseline JPEGs: four flat 8x8
+    blocks, block k of doc d holding value (d*31 + 59*k) % 256, packed
+    by the REAL encoder with a quant table of all 8s. A flat block's
+    DCT is DC-only (8*(v-128)) and the DC quant step of 8 makes the
+    quantized coefficient exactly v-128, so the decode is EXACT and
+    the oracle computes the features arithmetically — while the ENGINE
+    must run the full baseline pipeline (marker walk, huffman entropy
+    decode with DC prediction, dequant, IDCT) to get the same numbers.
+    Any decode bug breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_jpeg
+
+    q8 = np.full((8, 8), 8, dtype=np.int64)
+
+    def make(batches):
+        for pdf in batches:
+            imgs = []
+            for d in pdf["doc_id"]:
+                px = np.zeros((16, 16), dtype=np.uint8)
+                for k in range(4):
+                    by, bx = divmod(k, 2)
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (int(d) * 31 + 59 * k) % 256
+                imgs.append(encode_jpeg(px, qtab=q8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, img binary")
+
+
+def q_jpeg_image_features(spark, sf_dir):
+    """REAL baseline JPEG decode + feature extraction
+    (pipeline/multimodal.py decode_jpeg: huffman entropy decode →
+    dequant → IDCT → level shift), then the same Arrow-batched feature
+    kernel as the netpbm/PNG paths."""
+    from ..pipeline.multimodal import image_features
+
+    return image_features(_jpeg_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
+
+
+# grayscale 16x16, four flat blocks: mean over the 4 block values,
+# std over the 4 block values (each repeated 64x, so the per-pixel
+# population std equals the per-block one)
+_JPEG_FEATURES_SQL = """WITH bl AS (
+  SELECT doc_id, (doc_id * 31 + 59 * k) % 256 AS v
+  FROM documents, range(0, 4) t(k)
+),
+a AS (
+  SELECT doc_id, avg(v) AS m, avg(v * v) AS m2 FROM bl GROUP BY doc_id
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       round(m, 6) AS mean_r, round(m, 6) AS mean_g, round(m, 6) AS mean_b,
+       round(sqrt(m2 - m * m), 6) AS std_gray
+FROM a ORDER BY doc_id"""
+
+
 ENTRIES.update({
     "image_features": (q_image_features, _IMAGE_FEATURES_SQL),
     # identical oracle: the pixels are the same closed form — only the
     # container (and therefore the engine-side decode work) differs
     "png_image_features": (q_png_image_features, _IMAGE_FEATURES_SQL),
+    "jpeg_image_features": (q_jpeg_image_features, _JPEG_FEATURES_SQL),
 })
 
 
@@ -884,8 +943,46 @@ _VIDEO_FRAMES_SQL = """WITH f AS (
 SELECT doc_id, fr AS frame_no, round(mg, 6) AS mean_gray
 FROM f ORDER BY doc_id, frame_no"""
 
+def _flac_corpus(spark, sf_dir):
+    """The SAME closed-form samples as the WAV fixture — sample k of
+    doc d is ((d*7 + k*13) % 2001) - 1000 — but packed as REAL FLAC
+    (STREAMINFO, CRC-verified frame header, fixed-order-2 subframe
+    with rice-coded residuals). FLAC is lossless, so the oracle's
+    arithmetic needs no error argument: the engine must run the full
+    decode (rice → predictor reconstruction) to reproduce the numbers
+    exactly. Any decode bug breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_flac
+
+    def make(batches):
+        for pdf in batches:
+            blobs = [
+                encode_flac(8000, (((int(d) * 7 + np.arange(256) * 13) % 2001) - 1000)
+                            .astype(np.int64).reshape(-1, 1))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "audio": blobs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, audio binary")
+
+
+def q_flac_audio_features(spark, sf_dir):
+    """REAL FLAC decode + features (pipeline/multimodal.py decode_flac:
+    rice residual decode → fixed-predictor reconstruction, CRC-checked),
+    then the same RMS/zero-crossing kernel as the WAV path."""
+    from ..pipeline.multimodal import audio_features
+
+    return audio_features(_flac_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
 ENTRIES.update({
     "audio_features": (q_audio_features, _AUDIO_FEATURES_SQL),
+    # identical oracle: lossless codec over the same closed-form
+    # samples — only the container (and the decode work) differs
+    "flac_audio_features": (q_flac_audio_features, _AUDIO_FEATURES_SQL),
     "video_frame_features": (q_video_frames, _VIDEO_FRAMES_SQL),
 })
 

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* kernels are
-stubbed (deterministic fake features / NotImplementedError), but the
-Spark-side plumbing is real and tested: binary columns flow through
-Arrow-batched ``mapInPandas`` with explicit schemas, partition sizing
-is by bytes not rows, and metadata extraction (magic sniffing, sizes)
-is genuine. Swapping the stub for PIL/ffmpeg changes one function.
+The container ships no codec libraries, so every decode kernel here is
+written from the published format specs with stdlib + numpy only —
+netpbm (P5/P6), PNG (RFC 2083: zlib inflate + all five filters),
+baseline JPEG (ITU T.81: huffman entropy decode, dequant, IDCT,
+YCbCr→RGB), RIFF/PCM WAV, and concatenated-PPM "video" frames. Each is
+value-hash gated end-to-end against a closed-form oracle. MP3 remains
+an honest NotImplementedError (an IMDCT + synthesis-filterbank stack
+is a codec library's job). The Spark-side plumbing is uniform: binary
+columns flow through Arrow-batched ``mapInPandas`` with explicit
+schemas, and partition sizing is by bytes not rows.
 """
 
 from __future__ import annotations
@@ -66,18 +70,19 @@ def decode_image(b: bytes) -> "np.ndarray":
     (h, w, 3) for P6 or (h, w) for P5.
 
     PNG is decoded for REAL below (:func:`decode_png` — deflate is
-    stdlib zlib; filters are numpy); JPEG still raises honestly (the
-    container ships no entropy-decode/IDCT codec). The Spark-side
-    plumbing (schemas, Arrow batching, bytes-bounded partitions) is
-    identical either way, and both the PPM and PNG paths are
-    value-hash gated end-to-end (entries image_features /
-    png_image_features)."""
+    stdlib zlib; filters are numpy), and so is baseline JPEG
+    (:func:`decode_jpeg` — huffman entropy decode, dequant, exact
+    matrix IDCT, YCbCr→RGB; progressive/subsampled shapes raise with
+    the reason). The Spark-side plumbing (schemas, Arrow batching,
+    bytes-bounded partitions) is identical either way, and the PPM,
+    PNG and JPEG paths are all value-hash gated end-to-end (entries
+    image_features / png_image_features / jpeg_image_features)."""
     if not b:
         raise ValueError("empty image payload")
     if b[:2] == b"\x89P":
         return decode_png(b)  # real PNG decode below — stdlib zlib only
     if b[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG needs a codec library (PIL) — not in this container")
+        return decode_jpeg(b)  # real baseline JPEG decode below
     if b[:2] not in (b"P6", b"P5"):
         raise ValueError(f"unsupported image magic {b[:2]!r}")
     # header: magic, width, height, maxval — tokens separated by
@@ -116,8 +121,8 @@ def encode_ppm(px: "np.ndarray") -> bytes:
 # container — all of which the standard library covers: zlib for the
 # IDAT stream and CRCs, numpy for the pixel math. Supported: 8-bit,
 # color types 0 (grayscale) and 2 (RGB), non-interlaced — the shape a
-# web-scale image pipeline normalizes to anyway. JPEG stays an honest
-# NotImplementedError (entropy decode + IDCT is a codec library's job).
+# web-scale image pipeline normalizes to anyway. Baseline JPEG is
+# decoded for real further below (decode_jpeg).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -255,6 +260,380 @@ def encode_png(px: "np.ndarray", filters: list[int] | None = None) -> bytes:
     )
 
 
+# --- JPEG: real baseline decode/encode, stdlib + numpy, no codec library ---
+#
+# Baseline sequential DCT (ISO/IEC 10918-1 / ITU T.81): marker walk,
+# DQT/DHT tables, canonical-huffman entropy decode with 0xFF00 byte
+# unstuffing and restart-marker support, DC prediction, zigzag
+# inverse, dequantization, exact float 2-D IDCT (8x8 orthonormal DCT
+# matrix), level shift, and BT.601 full-range YCbCr->RGB. Supported
+# shape: 8-bit precision, 1 component (grayscale) or 3 components at
+# 4:4:4 (no chroma subsampling), non-progressive — enough to make the
+# "JPEG branch" a real codec rather than an honest raise. The encoder
+# below is the fixture/property-test inverse (custom flat-profile DHT
+# tables — valid per the spec, suboptimal compression).
+#
+# MP3 remains the one honest NotImplementedError: MPEG-1 Layer III
+# needs an IMDCT + polyphase synthesis filterbank stack that is a
+# codec library's job.
+
+# Zigzag scan: _ZZ[k] = natural (row-major) index of the k-th zigzag
+# coefficient. Generated, not transcribed (diagonal s = r+c; odd
+# diagonals walk row-increasing, even ones row-decreasing).
+_ZZ = sorted(
+    range(64),
+    key=lambda i: ((i >> 3) + (i & 7), (i >> 3) if ((i >> 3) + (i & 7)) % 2 else -(i >> 3)),
+)
+
+# Orthonormal 8x8 DCT basis: F = M @ f @ M.T, f = M.T @ F @ M.
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG huffman table: (code_length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JBits:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map an n-bit magnitude to its signed value."""
+    if n == 0 or v >= (1 << (n - 1)):
+        return v
+    return v - (1 << n) + 1
+
+
+def _huff_decode(br: _JBits, table: dict) -> int:
+    ln, code = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def decode_jpeg(b: bytes) -> "np.ndarray":
+    """REAL baseline JPEG decode (stdlib + numpy — no codec library).
+    Returns uint8 (h, w) for grayscale or (h, w, 3) RGB for 4:4:4
+    YCbCr. Progressive (SOF2), 12-bit, arithmetic coding, and chroma
+    subsampling raise with the reason — the fixture/property surface
+    covers the full baseline path (huffman -> dequant -> IDCT)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, qtabs, hdc, hac = 2, {}, {}, {}
+    frame, restart = None, 0
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        m = b[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+            continue
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        seg = b[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT (tables arrive in zigzag order)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                qn = np.zeros(64, dtype=np.int64)
+                qn[_ZZ] = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                qtabs[tq] = qn.reshape(8, 8)
+                p += 64
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                n = sum(bits)
+                (hdc if tc == 0 else hac)[th] = _build_huff(bits, list(seg[p : p + n]))
+                p += n
+        elif m == 0xC0:  # SOF0 baseline sequential
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"unsupported component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential DCT (SOF0) supported")
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scomps = {seg[1 + 2 * i]: (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15) for i in range(ns)}
+            return _decode_jpeg_scan(b, pos + seglen, frame, qtabs, hdc, hac, scomps, restart)
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_jpeg_scan(b, pos, frame, qtabs, hdc, hac, scomps, restart):
+    h, w, comps = frame
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # unstuff entropy bytes; record restart boundaries (byte offsets)
+    data, bounds = bytearray(), []
+    p = pos
+    while p < len(b):
+        byte = b[p]
+        if byte == 0xFF and p + 1 < len(b):
+            nxt = b[p + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                bounds.append(len(data))
+                p += 2
+                continue
+            break  # EOI or next real marker
+        data.append(byte)
+        p += 1
+    blob = bytes(data)
+    br = _JBits(blob)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                # byte-aligned restart: jump to the recorded boundary
+                br = _JBits(blob[bounds[mcu // restart - 1] :])
+                pred = [0] * len(comps)
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scomps[cid]
+                coef = np.zeros(64)
+                t = _huff_decode(br, hdc[td])
+                pred[ci] += _extend(br.receive(t), t)
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, hac[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coef[_ZZ[k]] = _extend(br.receive(rs & 15), rs & 15)
+                    k += 1
+                block = coef.reshape(8, 8) * qtabs[tq]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_M.T @ block @ _DCT_M
+                )
+            mcu += 1
+    planes = [pl[:h, :w] + 128.0 for pl in planes]
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, bl], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81
+
+
+# Flat-profile huffman tables: every DC category (0-11) gets a 5-bit
+# code, every AC run/size symbol an 8-bit code — canonical, all-ones
+# codes unused, decodable by ANY conformant decoder; compression is
+# deliberately left on the table (fixtures, not an archival encoder).
+_ENC_DC_VALS = list(range(12))
+_ENC_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_ENC_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+
+
+def _enc_codes(bits, vals):
+    """symbol -> (code, length) for the canonical table (encoder side)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+def _cat(v: int) -> int:
+    """JPEG size category: 0 for 0, else bit length of |v|."""
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _JBitWriter, q: "np.ndarray", pred: int) -> int:
+    """Huffman-encode one quantized 8x8 block (natural order); returns
+    the new DC predictor."""
+    zz = q.reshape(64)[_ZZ]
+    diff = int(zz[0]) - pred
+    s = _cat(diff)
+    code, ln = _ENC_DC[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _ENC_AC[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = _ENC_AC[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = _ENC_AC[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(px: "np.ndarray", qtab: "np.ndarray | None" = None) -> bytes:
+    """Inverse of :func:`decode_jpeg` for uint8 (h, w) grayscale or
+    (h, w, 3) RGB (4:4:4, BT.601 full-range). ``qtab`` is the natural-
+    order 8x8 quantization table (default all-ones ≈ near-lossless);
+    a table whose DC step divides 8·(v−128) round-trips flat blocks
+    EXACTLY — the property the oracle-gated fixture uses. Non-multiple-
+    of-8 sizes are edge-replicated."""
+    q = np.ones((8, 8), dtype=np.int64) if qtab is None else np.asarray(qtab, dtype=np.int64)
+    a = px.astype(np.float64)
+    gray = a.ndim == 2
+    h, w = a.shape[0], a.shape[1]
+    if gray:
+        chans = [a]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        chans = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for c in chans:
+        pc = np.empty((bh * 8, bw_ * 8))
+        pc[:h, :w] = c
+        pc[h:, :w] = c[h - 1 : h, :]  # edge replicate
+        pc[:, w:] = pc[:, w - 1 : w]
+        padded.append(pc)
+    writer = _JBitWriter()
+    pred = [0] * len(padded)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, pc in enumerate(padded):
+                f = pc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint((_DCT_M @ f @ _DCT_M.T) / q).astype(np.int64)
+                pred[ci] = _encode_block(writer, coef, pred[ci])
+    writer.flush()
+    nc = 1 if gray else 3
+    qzz = q.reshape(64)[_ZZ].astype(np.uint8)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    sos = bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])  # spectral selection full band, Ah/Al 0
+    return (
+        b"\xff\xd8"
+        + _jseg(0xDB, bytes([0x00]) + bytes(qzz))
+        + _jseg(0xC0, sof)
+        + _jseg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+        + _jseg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+        + _jseg(0xDA, sos)
+        + bytes(writer.out)
+        + b"\xff\xd9"
+    )
+
+
 IMG_FEAT_SCHEMA = (
     "doc_id long, width int, height int, mean_r double, mean_g double, "
     "mean_b double, std_gray double"
@@ -360,6 +739,397 @@ def encode_wav(rate: int, samples: "np.ndarray") -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+# --- FLAC: real lossless decode/encode, pure numpy + stdlib -----------------
+#
+# FLAC (RFC 9639) is a lossless codec whose whole stack is bit-level
+# integer work — no transform library needed: metadata-block walk,
+# frame headers (CRC-8 verified), per-channel subframes (CONSTANT /
+# VERBATIM / FIXED orders 0-4 / LPC with quantized coefficients), rice
+# -coded residuals with partitioning + escape codes, wasted-bits, and
+# inter-channel decorrelation (left/side, right/side, mid/side).
+# Losslessness means encode->decode is the IDENTITY on any input, so
+# the oracle-gated fixture needs no numeric-error argument at all. The
+# encoder below emits constant / fixed-order-2-rice / verbatim / LPC
+# order-1 subframes — enough to exercise every decoder path.
+
+
+class _FBits:
+    """MSB-first bit reader for FLAC frames."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bit() == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+
+
+class _FBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def write_signed(self, v: int, n: int) -> None:
+        self.write(v & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0, unreflected (FLAC frame CRC)."""
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_residual_read(br: _FBits, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    if blocksize % (1 << po):
+        raise ValueError("FLAC partition order does not divide block size")
+    res: list[int] = []
+    for p in range(1 << po):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            res.extend(br.read_signed(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                res.append((u >> 1) ^ -(u & 1))  # zigzag
+    return res
+
+
+def _flac_subframe(br: _FBits, blocksize: int, bps: int) -> list[int]:
+    if br.read_bit() != 0:
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read_bit():  # wasted-bits flag: unary count, stored minus 1
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for e in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(e + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        out = list(warm)
+        for e in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(e + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return [v << wasted for v in out] if wasted else out
+
+
+def decode_flac(b: bytes) -> tuple[int, "np.ndarray"]:
+    """REAL FLAC decode (pure numpy + stdlib): returns (sample_rate,
+    int samples ndarray [n, channels]). Supports the full baseline
+    surface an encoder may emit — CONSTANT / VERBATIM / FIXED / LPC
+    subframes, rice partitions with escapes, wasted bits, and all
+    stereo decorrelation modes — for 8/16-bit mono/stereo streams."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos, streaminfo = 4, None
+    while True:
+        hdr = b[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            br = _FBits(body)
+            br.read(16), br.read(16), br.read(24), br.read(24)
+            rate = br.read(20)
+            n_ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            streaminfo = (rate, n_ch, bps, total)
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    rate, n_ch, bps, total = streaminfo
+    if bps not in (8, 16):
+        raise NotImplementedError("only 8/16-bit FLAC supported")
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    decoded = 0
+    while decoded < total:
+        frame_start = pos
+        br = _FBits(b, pos)
+        if br.read(14) != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        br.read_bit()  # reserved
+        br.read_bit()  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ca = br.read(4)
+        ss_code = br.read(3)
+        br.read_bit()  # reserved
+        # coded frame/sample number: UTF-8-style, 1-7 bytes
+        first = br.read(8)
+        extra = 0
+        if first >= 0xC0:
+            n1 = first
+            while n1 & 0x40:
+                extra += 1
+                n1 <<= 1
+        for _ in range(extra):
+            br.read(8)
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        frame_bps = _FLAC_SAMPLE_SIZES.get(ss_code, bps)
+        hdr_end = br.pos  # CRC-8 covers header bytes up to here
+        if br.read(8) != _crc8(b[frame_start:hdr_end]):
+            raise ValueError("FLAC frame header CRC mismatch")
+        if ca <= 7:
+            n_sub = ca + 1
+            subs = [_flac_subframe(br, blocksize, frame_bps) for _ in range(n_sub)]
+            frame_ch = subs
+        elif ca in (8, 9, 10):
+            # one channel carries the side (difference) at bps+1
+            extra_bits = [1, 0] if ca == 9 else [0, 1]
+            subs = [
+                _flac_subframe(br, blocksize, frame_bps + extra_bits[i]) for i in range(2)
+            ]
+            if ca == 8:  # left/side
+                left = subs[0]
+                frame_ch = [left, [l - s for l, s in zip(left, subs[1])]]
+            elif ca == 9:  # right/side (side stored first)
+                right = subs[1]
+                frame_ch = [[s + r for s, r in zip(subs[0], right)], right]
+            else:  # mid/side
+                frame_ch = [[], []]
+                for m, s in zip(subs[0], subs[1]):
+                    m2 = (m << 1) | (s & 1)
+                    frame_ch[0].append((m2 + s) >> 1)
+                    frame_ch[1].append((m2 - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ca}")
+        if len(frame_ch) != n_ch:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        br.align()
+        if (br.read(8) << 8 | br.read(8)) != _crc16(b[frame_start : br.pos - 2]):
+            raise ValueError("FLAC frame CRC mismatch")
+        for c, vals in zip(chans, frame_ch):
+            c.extend(vals)
+        decoded += blocksize
+        pos = br.pos
+    dtype = np.int16 if bps == 16 else np.int8
+    return rate, np.array(chans, dtype=dtype).T.copy()
+
+
+def _flac_rice_write(bw: _FBitWriter, res: list[int], param: int) -> None:
+    bw.write(0, 2)  # method 0: 4-bit rice params
+    bw.write(0, 4)  # partition order 0
+    bw.write(param, 4)
+    for e in res:
+        u = (e << 1) ^ (e >> 63) if e >= 0 else ((-e) << 1) - 1
+        bw.write_unary(u >> param)
+        if param:
+            bw.write(u & ((1 << param) - 1), param)
+
+
+def _flac_best_param(res: list[int]) -> int:
+    mean = sum(abs(e) for e in res) / max(1, len(res))
+    p = 0
+    while (1 << p) < mean + 1 and p < 14:
+        p += 1
+    return p
+
+
+def _flac_encode_subframe(bw: _FBitWriter, s: list[int], bps: int, mode: str) -> None:
+    if all(v == s[0] for v in s):
+        bw.write(0, 1), bw.write(0, 6), bw.write(0, 1)  # CONSTANT
+        bw.write_signed(s[0], bps)
+    elif mode == "escape":
+        # FIXED order 0 with an escaped (raw-bits) rice partition —
+        # exercises the decoder's escape-code path
+        bw.write(0, 1), bw.write(8, 6), bw.write(0, 1)
+        bw.write(0, 2)   # method 0
+        bw.write(0, 4)   # partition order 0
+        bw.write(15, 4)  # escape
+        raw = bps + 2    # covers side-channel widths too
+        bw.write(raw, 5)
+        for v in s:
+            bw.write_signed(v, raw)
+    elif mode == "fixed2" and len(s) > 2:
+        bw.write(0, 1), bw.write(8 + 2, 6), bw.write(0, 1)  # FIXED order 2
+        bw.write_signed(s[0], bps)
+        bw.write_signed(s[1], bps)
+        res = [s[i] - 2 * s[i - 1] + s[i - 2] for i in range(2, len(s))]
+        _flac_rice_write(bw, res, _flac_best_param(res))
+    elif mode == "lpc1" and len(s) > 1:
+        bw.write(0, 1), bw.write(32, 6), bw.write(0, 1)  # LPC order 1
+        bw.write_signed(s[0], bps)
+        bw.write(2 - 1, 4)  # precision 2 bits
+        bw.write_signed(0, 5)  # shift 0
+        bw.write_signed(1, 2)  # coefficient c0 = 1  ->  pred = s[i-1]
+        res = [s[i] - s[i - 1] for i in range(1, len(s))]
+        _flac_rice_write(bw, res, _flac_best_param(res))
+    else:  # VERBATIM
+        bw.write(0, 1), bw.write(1, 6), bw.write(0, 1)
+        for v in s:
+            bw.write_signed(v, bps)
+
+
+def encode_flac(
+    rate: int, samples: "np.ndarray", mode: str = "fixed2", stereo: str = "independent"
+) -> bytes:
+    """Inverse of :func:`decode_flac` for int16 [n] / [n, ch] arrays —
+    one frame, blocksize = n. ``mode`` picks the subframe coder
+    (fixed2 | lpc1 | verbatim | escape; constant auto-detected per
+    channel) and ``stereo`` the decorrelation (independent | left_side
+    | right_side | mid_side, 2-channel only) so tests can exercise
+    every decoder path. Lossless: decode(encode(x)) == x exactly."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, n_ch = s.shape
+    if stereo != "independent" and n_ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    if not (1 <= n <= 65536):
+        raise ValueError("encode_flac: 1..65536 samples per stream")
+    bps = 16
+    # STREAMINFO: min/max blocksize+framesize, rate/ch/bps/total, md5 0
+    si = _FBitWriter()
+    si.write(n, 16), si.write(n, 16), si.write(0, 24), si.write(0, 24)
+    si.write(rate, 20), si.write(n_ch - 1, 3), si.write(bps - 1, 5)
+    si.write(0, 4), si.write(n, 32)  # 36-bit total
+    head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.out) + b"\x00" * 16
+    fw = _FBitWriter()
+    ca = {"independent": n_ch - 1, "left_side": 8, "right_side": 9, "mid_side": 10}[stereo]
+    fw.write(0x3FFE, 14), fw.write(0, 1), fw.write(0, 1)
+    fw.write(7, 4)   # blocksize: explicit 16-bit - 1
+    fw.write(0, 4)   # sample rate: from STREAMINFO
+    fw.write(ca, 4)
+    fw.write(4, 3)   # 16-bit samples
+    fw.write(0, 1)
+    fw.write(0, 8)   # frame number 0 (UTF-8)
+    fw.write(n - 1, 16)
+    hdr = bytes(fw.out)
+    hdr += bytes([_crc8(hdr)])
+    body = _FBitWriter()
+    if stereo == "independent":
+        subs = [([int(v) for v in s[:, c]], bps) for c in range(n_ch)]
+    else:
+        left, right = s[:, 0], s[:, 1]
+        side = [int(v) for v in left - right]
+        if stereo == "left_side":
+            subs = [([int(v) for v in left], bps), (side, bps + 1)]
+        elif stereo == "right_side":
+            subs = [(side, bps + 1), ([int(v) for v in right], bps)]
+        else:
+            mid = [int(v) for v in (left + right) >> 1]
+            subs = [(mid, bps), (side, bps + 1)]
+    for vals, sub_bps in subs:
+        _flac_encode_subframe(body, vals, sub_bps, mode)
+    body.align()
+    frame = hdr + bytes(body.out)
+    frame += _crc16(frame).to_bytes(2, "big")
+    return head + frame
+
+
+def decode_audio(b: bytes) -> tuple[int, "np.ndarray"]:
+    """Container dispatch: RIFF/PCM WAV or FLAC by magic; MP3 raises
+    honestly inside :func:`decode_wav`."""
+    if b[:4] == b"fLaC":
+        return decode_flac(b)
+    return decode_wav(b)
+
+
 AUDIO_FEAT_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, rms double, zero_crossings long"
 )
@@ -367,13 +1137,14 @@ AUDIO_FEAT_SCHEMA = (
 
 def audio_features(df: DataFrame, bin_col: str = "audio", id_col: str = "doc_id") -> DataFrame:
     """REAL audio features over decoded PCM: RMS + zero-crossing count
-    (channel 0) — the mapInPandas shape a wav2vec-style embedder uses."""
+    (channel 0) — the mapInPandas shape a wav2vec-style embedder uses.
+    WAV and FLAC payloads both decode for real (decode_audio)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, b in zip(pdf[id_col], pdf[bin_col]):
-                rate, s = decode_wav(b)
+                rate, s = decode_audio(b)
                 c0 = s[:, 0].astype(np.float64)
                 rms = float(np.sqrt(np.mean(c0 * c0)))
                 zc = int(np.sum(np.signbit(c0[1:]) != np.signbit(c0[:-1])))

@@ -44,8 +44,9 @@ def test_codec_formats_raise_honestly():
     # truncated PNG: routed to the real decoder, which fails loud
     with pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"\xff\xd8\xff\xe0....")
+    # truncated JPEG: routed to the real baseline decoder, fails loud
+    with pytest.raises(ValueError, match="SOS"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x02\xff\xd9")
     with pytest.raises(ValueError):
         decode_image(b"")
     with pytest.raises(ValueError):
@@ -121,3 +122,144 @@ def test_video_frame_iteration_boundaries():
     assert len(got) == 3
     for f, g in zip(frames, got):
         assert np.array_equal(f, g)
+
+
+# --- baseline JPEG (real codec: huffman -> dequant -> IDCT) -----------------
+
+from go_mysql_elasticsearch_spark.pipeline.multimodal import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_gray_roundtrip_near_lossless(w, h, seed):
+    """All-ones quant table: every coefficient rounds by <= 0.5, so the
+    per-pixel reconstruction error is tightly bounded (measured <= 2;
+    bound the assert at 3 for float slack). Exercises edge-replicated
+    padding for non-multiple-of-8 sizes."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 3
+
+
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_rgb_roundtrip(w, h, seed):
+    """4:4:4 color: YCbCr forward/backward adds its own rounding; the
+    error stays a few counts per channel."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = decode_image(encode_jpeg(px))
+    assert got.shape == px.shape
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_flat_blocks_exact():
+    """A flat 8x8 block's DCT is DC-only (8*(v-128)); with a quant DC
+    step of 8 the quantized value is exactly v-128, so the decode is
+    EXACT — the property the oracle-gated fixture relies on."""
+    q = np.full((8, 8), 8, dtype=np.int64)
+    vals = (0, 7, 128, 255)
+    px = np.zeros((16, 16), dtype=np.uint8)
+    for k, v in enumerate(vals):
+        by, bx = divmod(k, 2)
+        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    assert np.array_equal(decode_jpeg(encode_jpeg(px, qtab=q)), px)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Seed chosen so the entropy stream contains a stuffed 0xFF00 —
+    the unstuffing path is exercised, not just possible."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    blob = encode_jpeg(px)
+    scan = blob[blob.find(b"\xff\xda") :]
+    assert b"\xff\x00" in scan
+    assert np.abs(decode_jpeg(blob).astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_unsupported_shapes_raise_with_reason():
+    px = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    # progressive: flip SOF0 -> SOF2
+    i = bytes(blob).find(b"\xff\xc0")
+    prog = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    # chroma subsampling: set the component's H/V byte to 2x2
+    j = i + 2 + 2 + 6 + 1  # marker+len+prec/h/w/nc+cid -> hv byte
+    sub = bytes(blob[:j]) + b"\x22" + bytes(blob[j + 1 :])
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(sub)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+# --- FLAC (real lossless codec: rice residuals, LPC, decorrelation) ---------
+
+from go_mysql_elasticsearch_spark.pipeline.multimodal import (  # noqa: E402
+    decode_audio,
+    decode_flac,
+    encode_flac,
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from(["fixed2", "lpc1", "verbatim", "escape"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_flac_roundtrip_lossless(n, n_ch, mode, seed):
+    """FLAC is lossless: decode(encode(x)) == x EXACTLY for every
+    subframe coder (fixed-order-2 rice, LPC, verbatim, rice-escape;
+    constant auto-detected)."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, n_ch), dtype=np.int16)
+    rate, got = decode_flac(encode_flac(44100, s.astype(np.int64), mode=mode))
+    assert rate == 44100
+    assert np.array_equal(got, s)
+
+
+@given(
+    st.sampled_from(["left_side", "right_side", "mid_side"]),
+    st.sampled_from(["fixed2", "verbatim", "escape"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_stereo_decorrelation_exact(stereo, mode, seed):
+    """All three decorrelation modes reconstruct exactly — including
+    the mid/side lost-LSB recovery and the side channel's bps+1."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(129, 2), dtype=np.int16)
+    _, got = decode_flac(encode_flac(8000, s.astype(np.int64), mode=mode, stereo=stereo))
+    assert np.array_equal(got, s)
+
+
+def test_flac_constant_and_dispatch():
+    c = np.full((64, 1), -123, dtype=np.int16)
+    rate, got = decode_audio(encode_flac(8000, c.astype(np.int64)))
+    assert rate == 8000 and np.array_equal(got, c)
+
+
+def test_flac_crc_guards():
+    s = np.arange(-50, 50, dtype=np.int16).reshape(-1, 1)
+    blob = bytearray(encode_flac(8000, s.astype(np.int64)))
+    blob[-1] ^= 0xFF  # corrupt frame CRC-16
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"not flac at all")
