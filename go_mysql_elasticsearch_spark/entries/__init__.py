@@ -24,6 +24,10 @@ _PRIORITY = [
     # new in round 5
     "jpeg_image_features",
     "flac_audio_features",
+    "analyze",
+    "source_filtering",
+    "dedup_ngram_jaccard",
+    "pipeline_mov_avg_holt_winters_mult",
     "alias_query",
     "template_settings",
     "put_settings_dynamic",

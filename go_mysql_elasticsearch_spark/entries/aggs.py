@@ -601,6 +601,80 @@ def _holt_winters_sql() -> str:
     )
 
 
+def _hw_steps_mult():
+    """Multiplicative-seasonality Holt-Winters unroll
+    (search_aggs_pipeline_mov_avg.go HoltWintersMovAvgModel with
+    SeasonalityType "mult"): seasonal indices are RATIOS to the level
+    (c_i = x_i / level), the level update deseasonalizes by division,
+    and the forecast re-applies the index multiplicatively
+    ((s + b) * c). Same step-table shape as the additive model so the
+    Spark chain and the SQL twin render from one source of truth."""
+    a, bt, g, p = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    steps = []
+
+    def _level(c, p=p):
+        e = c("x1")
+        for i in range(2, p + 1):
+            e = e + c(f"x{i}")
+        return e / float(p)
+
+    def _trend(c, p=p):
+        e = c(f"x{p + 1}") - c("x1")
+        for i in range(2, p + 1):
+            e = e + (c(f"x{i + p}") - c(f"x{i}"))
+        return e / float(p * p)
+
+    steps.append((f"s{p}", _level))
+    steps.append((f"b{p}", _trend))
+    for i in range(1, p + 1):
+        steps.append((f"c{i}", lambda c, i=i: c(f"x{i}") / c(f"s{p}")))
+    for i in range(p + 1, 2 * p + 1):
+        pv = i - 1
+        steps.append(
+            (f"s{i}", lambda c, i=i, pv=pv: a * (c(f"x{i}") / c(f"c{i - p}"))
+             + (1.0 - a) * (c(f"s{pv}") + c(f"b{pv}")))
+        )
+        steps.append(
+            (f"b{i}", lambda c, i=i, pv=pv: bt * (c(f"s{i}") - c(f"s{pv}"))
+             + (1.0 - bt) * c(f"b{pv}"))
+        )
+        steps.append(
+            (f"c{i}", lambda c, i=i, pv=pv: g * (c(f"x{i}") / c(f"s{i}"))
+             + (1.0 - g) * c(f"c{i - p}"))
+        )
+    steps.append(
+        ("hw", lambda c: (c(f"s{2 * p}") + c(f"b{2 * p}")) * c(f"c{p + 1}"))
+    )
+    return steps
+
+
+def q_mov_avg_holt_winters_mult(spark, sf_dir):
+    """mov_avg model=holt_winters type=mult: triple exponential
+    smoothing with multiplicative seasonality — same unrolled
+    one-window-projection plan as the additive model (no UDF, no
+    iteration state; scale-safe for 10^9 buckets)."""
+    h = _lagged_hourly(spark, sf_dir, n=HW_WINDOW)
+    for name, fn in _hw_steps_mult():
+        h = h.withColumn(name, fn(F.col))
+    return h.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(F.col("hw"), 6).alias("holt_winters_mult"),
+    )
+
+
+def _holt_winters_mult_sql() -> str:
+    q = _lagged_sql(HW_WINDOW).format(hourly=_HOURLY_SQL)
+    prev = "lg"
+    sref = lambda n: _SqlExpr(n)  # noqa: E731
+    for j, (name, fn) in enumerate(_hw_steps_mult()):
+        q += f", hw{j} AS (SELECT *, {fn(sref).s} AS {name} FROM {prev})"
+        prev = f"hw{j}"
+    return (
+        q + f" SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "
+        f"round(hw, 6) AS holt_winters_mult FROM {prev}"
+    )
+
+
 def q_serial_diff(spark, sf_dir):
     """serial_diff lag=2 (search_aggs_pipeline_serial_diff.go)."""
     h = _hourly(spark, sf_dir)
@@ -871,6 +945,10 @@ FROM m""",
     "pipeline_mov_avg_ewma": (q_mov_avg_ewma, _ewma_sql()),
     "pipeline_mov_avg_holt": (q_mov_avg_holt, _holt_sql()),
     "pipeline_mov_avg_holt_winters": (q_mov_avg_holt_winters, _holt_winters_sql()),
+    "pipeline_mov_avg_holt_winters_mult": (
+        q_mov_avg_holt_winters_mult,
+        _holt_winters_mult_sql(),
+    ),
     "pipeline_serial_diff": (
         q_serial_diff,
         f"WITH h AS ({_HOURLY_SQL}) SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, "

@@ -37,6 +37,12 @@ def q_dedup_minhash(spark, sf_dir):
     return D.shingle_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.5 pairs via the df-capped gram
+    inverted index (deterministic recall, unlike MinHash banding)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, tau=0.5, max_gram_df=20)
+
+
 def q_sim_pairs_exact(spark, sf_dir):
     """Exact shingle-Jaccard top-5 pairs among doc_id < 60 (the n²
     baseline the LSH path approximates)."""
@@ -435,6 +441,17 @@ pairs AS (
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
 ),
 shs AS (SELECT doc_id, {_SHINGLE} AS s FROM tk)
+SELECT * FROM ({_JACCARD_PAIR}) WHERE jaccard >= 0.5""",
+    ),
+    "dedup_ngram_jaccard": (
+        q_dedup_ngram_jaccard,
+        f"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+shs AS (SELECT doc_id, {_SHINGLE} AS s FROM tk),
+shg AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+rare AS (SELECT sh FROM shg GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+post AS (SELECT g.doc_id, g.sh FROM shg g JOIN rare r ON r.sh = g.sh),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM post x JOIN post y ON x.sh = y.sh AND x.doc_id < y.doc_id)
 SELECT * FROM ({_JACCARD_PAIR}) WHERE jaccard >= 0.5""",
     ),
     "sim_pairs_exact": (

@@ -474,7 +474,111 @@ def _template_oracle() -> str:
     return query_string_oracle_sql(render_template(TEMPLATE_SRC, TEMPLATE_PARAMS), k=10)
 
 
+# --- _source filtering -------------------------------------------------------
+
+
+def source_filter_cols(names, includes=None, excludes=None):
+    """Resolve ES _source include/exclude glob patterns against a
+    column list (fetch_source_context.go:13 — FetchSourceContext's
+    Include/Exclude wildcards). ES filters the _source JSON per hit at
+    fetch time; columnar, the resolution happens ONCE at plan time and
+    becomes column pruning, so at 100 TB the excluded fields are never
+    even read from parquet (ReadSchema shrinks)."""
+    from fnmatch import fnmatch
+
+    inc = [c for c in names if any(fnmatch(c, p) for p in includes)] if includes else list(names)
+    return [c for c in inc if not (excludes and any(fnmatch(c, p) for p in excludes))]
+
+
+def q_source_filtering(spark, sf_dir):
+    """match(data) top-10 hits with _source: include ["doc_id","*l"],
+    exclude ["dl"] — resolves to (doc_id, url) against the docstore
+    schema, then one broadcast-friendly hit join."""
+    from ..query.wand import bm25_topk
+
+    r = index_for(spark, sf_dir)
+    hits = bm25_topk(spark, r, ["data"], k=10)
+    src = _docstore(spark, sf_dir)
+    cols = source_filter_cols(src.columns, includes=["doc_id", "*l"], excludes=["dl"])
+    out = hits.join(src.select(*cols), "doc_id")
+    return out.select(*cols, "score").orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# --- _analyze --------------------------------------------------------------
+
+
+def q_analyze(spark, sf_dir):
+    """The _analyze API: run the index analyzer over stored text and
+    return ES-shaped token rows (token, position, start/end offsets).
+
+    The reference relies on Elasticsearch's _analyze to debug the
+    analyzers its settings files configure (river/river.go:82-139 ships
+    opaque <index>.idx.json to ES). Here the analyzer is the persisted
+    token regex, and offsets are computed INSIDE whole-stage codegen:
+    the lowered text is split into (separator, token) interleavings and
+    the offset of token i is the running length of seps[..i] plus
+    toks[..i-1] — pure higher-order array expressions, no UDF, so at
+    100 TB the analyze pass is a shuffle-free projection. Offsets are
+    over the lowercased text, which for the ASCII analyzer equals the
+    original-byte offsets ES reports."""
+    docs = _docstore(spark, sf_dir).where(F.col("doc_id") < 5)
+    d = docs.select(
+        "doc_id",
+        tokens_col("text").alias("toks"),
+        F.split(F.lower(F.col("text")), "[a-z0-9]+").alias("seps"),
+    )
+    out = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """transform(toks, (t, i) -> struct(
+                     i AS position, t AS token,
+                     cast(aggregate(slice(seps, 1, i+1), 0L, (a, x) -> a + length(x))
+                        + aggregate(slice(toks, 1, i), 0L, (a, x) -> a + length(x)) AS long)
+                       AS start_offset))"""
+            )
+        ).alias("e"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("e.position").cast("long").alias("position"),
+        F.col("e.token").alias("token"),
+        F.col("e.start_offset").alias("start_offset"),
+        (F.col("e.start_offset") + F.length("e.token")).cast("long").alias("end_offset"),
+    ).orderBy("doc_id", "position")
+
+
+_ANALYZE_SQL = """WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         regexp_split_to_array(lower(text), '[a-z0-9]+') AS seps
+  FROM documents WHERE doc_id < 5
+),
+e AS (SELECT doc_id, toks, seps, generate_subscripts(toks, 1) AS i, unnest(toks) AS token FROM d),
+o AS (
+  SELECT doc_id, (i - 1)::BIGINT AS position, token,
+         (coalesce(list_sum(list_transform(seps[1:i], x -> length(x))), 0)
+        + coalesce(list_sum(list_transform(toks[1:i-1], x -> length(x))), 0))::BIGINT AS start_offset
+  FROM e
+)
+SELECT doc_id, position, token, start_offset,
+       (start_offset + length(token))::BIGINT AS end_offset
+FROM o ORDER BY doc_id, position"""
+
+
+def _source_filtering_sql() -> str:
+    from ..query.scoring import bm25_oracle_sql
+
+    return f"""SELECT h.doc_id, s.url, h.score
+FROM ({bm25_oracle_sql(["data"], k=10)}) h
+JOIN (SELECT doc_id,
+             'https://site' || (doc_id % 97)::VARCHAR || '.example/page/' || doc_id::VARCHAR AS url
+      FROM documents) s USING (doc_id)
+ORDER BY h.score DESC, h.doc_id ASC"""
+
+
 ENTRIES = {
+    "analyze": (q_analyze, _ANALYZE_SQL),
+    "source_filtering": (q_source_filtering, _source_filtering_sql()),
     "msearch": (q_msearch, _msearch_sql()),
     "termvectors": (q_termvectors, _TV_SQL),
     "mtermvectors": (q_mtermvectors, _MTV_SQL),

@@ -88,9 +88,9 @@ def minhash_candidate_pairs(sig: DataFrame, k: int = 8, rows_per_band: int = 2) 
     )
 
 
-def shingle_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def shingle_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs."""
-    sh = docs.select("doc_id", shingles_col().alias("s"))
+    sh = docs.select("doc_id", shingles_col("text", n).alias("s"))
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), "a")
         .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"), "b")
@@ -103,6 +103,49 @@ def shingle_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, tau: float = 0.5, max_gram_df: int = 20
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via a df-capped gram inverted index.
+
+    Unlike MinHash LSH (probabilistic recall from banding), candidate
+    generation here is DETERMINISTIC: every pair sharing at least one
+    shingle whose document frequency is in [2, max_gram_df] becomes a
+    candidate, and candidates are verified with exact Jaccard over the
+    full shingle sets. The df cap is the scale lever — it bounds the
+    per-gram self-join at max_gram_df^2 rows (a stop-gram list),
+    trading away only pairs whose *every* shared gram is more common
+    than the cap, which at tau >= 0.5 is vanishingly rare for natural
+    text. All stages are shuffles on uniform md5-derived keys.
+
+    Reference analogue: the dedup family the reference outsources
+    (river/river.go:82 syncs raw rows; near-dup curation is this
+    repo's LLM-pipeline extension, same contract as dedup_minhash_lsh).
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col("text", n)).alias("sh")
+    )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_gram_df))
+        .select("sh")
+    )
+    posting = sh.join(rare, "sh")
+    cands = (
+        posting.alias("x")
+        .join(
+            posting.alias("y"),
+            (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return shingle_jaccard(docs.select("doc_id", "text"), cands, n=n).where(
+        F.col("jaccard") >= tau
     )
 
 

@@ -65,3 +65,34 @@ def test_tokenizer_edge_cases(spark):
     assert list(rows[0]["t"]) == ["a", "b", "c", "9x"]
     assert list(rows[1]["t"]) == []
     assert list(rows[2]["t"]) == []
+
+
+def test_analyze_offsets_slice_back_to_tokens(spark):
+    """_analyze invariant: lower(text)[start:end] == token for every
+    emitted row (offsets computed inside codegen, no UDF)."""
+    from go_mysql_elasticsearch_spark.entries.services import q_analyze
+    from .conftest import SF_SMALL
+
+    rows = q_analyze(spark, SF_SMALL).collect()
+    assert rows, "fixture docs should produce tokens"
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id < 5").collect()
+    }
+    pos = {}
+    for r in rows:
+        assert texts[r["doc_id"]][r["start_offset"]:r["end_offset"]] == r["token"]
+        assert r["position"] == pos.get(r["doc_id"], 0)
+        pos[r["doc_id"]] = r["position"] + 1
+
+
+def test_source_filter_cols_globs():
+    from go_mysql_elasticsearch_spark.entries.services import source_filter_cols
+
+    names = ["doc_id", "url", "warc_ts", "lang", "text", "dl", "segment"]
+    assert source_filter_cols(names, ["doc_id", "*l"], ["dl"]) == ["doc_id", "url"]
+    assert source_filter_cols(names, None, ["warc_*", "segment"]) == [
+        "doc_id", "url", "lang", "text", "dl",
+    ]
+    assert source_filter_cols(names, ["nope*"], None) == []

@@ -89,9 +89,9 @@ def test_binary_metadata_and_fake_features(spark):
 
 
 def test_decode_stub_raises():
-    # JPEG remains an honest stub; PNG is decoded for REAL since round
-    # 5 (a truncated payload fails loud in the real decoder)
-    with pytest.raises(NotImplementedError):
+    # PNG and JPEG are decoded for REAL since round 5 — a truncated
+    # payload must fail loud in the real decoders, not parse garbage
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0....")
     with pytest.raises(ValueError, match="IHDR"):
         M.decode_image(b"\x89PNG\r\n\x1a\n....")
@@ -265,3 +265,41 @@ def test_pair_mining_band_keys_are_scale_honest():
     assert 2 ** (D.SIMHASH_BITS // D.SIMHASH_BANDS) >= 65536
     # embedding LSH: default planes split into 4 bands
     assert S.DEFAULT_N_PLANES // 4 >= 16
+
+
+def test_ngram_jaccard_exact_recall_within_cap(spark, docs):
+    """dedup_ngram_jaccard is DETERMINISTIC: every pair with exact
+    Jaccard >= tau that shares at least one gram with df in [2, cap]
+    must be returned — no LSH luck involved — with the exact score."""
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, tau=0.5, max_gram_df=20).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("a"))
+    pairs = a.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(F.col("a") < F.col("b"))
+    truth = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.shingle_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5).collect()
+    }
+    assert truth, "corpus should contain planted near-duplicates"
+    # at tau=0.5 a near-dup pair in this corpus always shares a rare
+    # gram (df<=20), so recall is exact — and scores are identical
+    assert got == truth
+
+
+def test_ngram_jaccard_df_cap_drops_stop_gram_only_pairs(spark):
+    """Pairs whose every shared gram exceeds the df cap are NOT
+    candidates (the documented recall tradeoff of the stop-gram list)."""
+    common = "the quick brown fox jumps over dog"
+    rows = [(i, common) for i in range(1, 9)] + [
+        (100, "alpha beta gamma delta epsilon zeta eta"),
+        (101, "alpha beta gamma delta epsilon zeta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["a"], r["b"])
+        for r in D.ngram_jaccard_pairs(df, n=3, tau=0.3, max_gram_df=5).collect()
+    }
+    # the 8 identical "common" docs share only grams with df=8 > cap=5
+    assert all(a >= 100 for a, b in out), out
+    assert (100, 101) in out
