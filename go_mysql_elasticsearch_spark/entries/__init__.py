@@ -28,6 +28,7 @@ _PRIORITY = [
     "source_filtering",
     "dedup_ngram_jaccard",
     "pipeline_mov_avg_holt_winters_mult",
+    "stored_template_query",
     "alias_query",
     "template_settings",
     "put_settings_dynamic",

@@ -57,6 +57,37 @@ def q_alias_query(spark, sf_dir):
     return bm25_topk(spark, reader, ALIAS_TERMS, k=10, mode="or")
 
 
+STORED_TPL_SRC = '+{{must}} {{should}} "{{p1}} {{p2}}"'
+STORED_TPL_PARAMS = {"must": "data", "should": "table", "p1": "fast", "p2": "scan"}
+
+
+def q_stored_template_query(spark, sf_dir):
+    """Search via a STORED template (put_template.go / get_template.go:
+    the template source lives server-side, the search carries only the
+    id + params): put → render-by-id → execute through the shared
+    query_string grammar. A second put with the same id replaces the
+    source (ES upsert semantics), and the delete path is
+    pytest-covered in tests/test_admin.py."""
+    from ..index.search_templates import put_search_template, render_stored
+    from ..query.querystring import query_string_topk
+
+    key = os.path.abspath(sf_dir)
+    store = os.path.join(IDX_CACHE_ROOT, f"tplstore-{_tag(key, INDEX_FORMAT_VERSION)}")
+    # an earlier decoy source under the same id — the real put replaces it
+    put_search_template(store, "hits_tpl", "{{must}}")
+    put_search_template(store, "hits_tpl", STORED_TPL_SRC)
+    rendered = render_stored(store, "hits_tpl", STORED_TPL_PARAMS)
+    return query_string_topk(spark, index_for(spark, sf_dir), rendered, k=10)
+
+
+def _stored_template_oracle() -> str:
+    from ..query.querystring import query_string_oracle_sql, render_template
+
+    return query_string_oracle_sql(
+        render_template(STORED_TPL_SRC, STORED_TPL_PARAMS), k=10
+    )
+
+
 def q_template_settings(spark, sf_dir):
     """Index built through a template store (indices_put_template.go):
     two templates match the index name by glob — order 0 sets
@@ -162,4 +193,5 @@ ENTRIES = {
         bm25_oracle_sql(DYN_TERMS, mode="or", k=10, k1=DYN_K1, b=DYN_B),
     ),
     "get_mapping": (q_get_mapping, _GET_MAPPING_SQL),
+    "stored_template_query": (q_stored_template_query, _stored_template_oracle()),
 }

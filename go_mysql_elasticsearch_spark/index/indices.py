@@ -239,3 +239,69 @@ def warm(spark, reader, k: int = 1) -> int:
     for w in warmers.values():
         bm25_topk(spark, reader, w["terms"], k=k, mode=w.get("mode", "or")).collect()
     return len(warmers)
+
+
+def index_stats_summary(index_dir: str) -> dict:
+    """Per-index stats from the committed segment manifests — pure
+    metadata, no executor work (cluster_stats.go's per-index shape)."""
+    segs = sorted(
+        glob.glob(os.path.join(gen_root(index_dir), "segments", "seg=*", "manifest.json"))
+    )
+    n_docs = n_bytes = 0
+    for p in segs:
+        with open(p) as f:
+            m = json.load(f)
+        n_docs += int(m.get("n_docs", 0))
+        n_bytes += int(m.get("bytes", 0))
+    return {
+        "n_segments": len(segs),
+        "n_docs": n_docs,
+        "bytes": n_bytes,
+        "closed": is_closed(index_dir),
+    }
+
+
+def cluster_health(store_dir: str) -> dict:
+    """cluster_health.go: one status line over every index under
+    ``store_dir`` (the directory-of-index-dirs "cluster state").
+
+    Status semantics adapted to this engine's durability model:
+    **green** = every index has a committed commit point and is open;
+    **yellow** = at least one index is administratively closed
+    (searchable-after-open, data intact — ES yellow's "functional but
+    degraded"); **red** = a directory that looks like an index (has a
+    segments/ dir or gen pointer) but NO committed manifest — a
+    half-written or corrupted index a reader would refuse.
+
+    Driver-side metadata only: reads manifests, never touches
+    executors — at any corpus scale this is O(indices · segments)
+    small-file reads, the same cost ES pays against cluster state.
+    """
+    indices, status = {}, "green"
+    for name in sorted(os.listdir(store_dir)) if os.path.isdir(store_dir) else []:
+        d = os.path.join(store_dir, name)
+        if not os.path.isdir(d):
+            continue
+        looks_like_index = (
+            os.path.isdir(os.path.join(gen_root(d), "segments"))
+            or os.path.exists(os.path.join(d, "index.gen"))
+        )
+        if not looks_like_index:
+            continue
+        st = index_stats_summary(d)
+        if st["n_segments"] == 0:
+            st["status"] = "red"
+        elif st["closed"]:
+            st["status"] = "yellow"
+        else:
+            st["status"] = "green"
+        indices[name] = st
+        order = {"green": 0, "yellow": 1, "red": 2}
+        if order[st["status"]] > order[status]:
+            status = st["status"]
+    return {
+        "status": status,
+        "number_of_indices": len(indices),
+        "n_docs": sum(i["n_docs"] for i in indices.values()),
+        "indices": indices,
+    }

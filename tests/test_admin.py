@@ -121,3 +121,32 @@ def test_open_alias_serves_target_and_pins_at_open(spark, tmp_path):
     assert [x["doc_id"] for x in bm25_topk(spark, r1, ["apple"], k=5).collect()] == [0]
     r2 = open_alias(spark, store, "fruit")
     assert [x["doc_id"] for x in bm25_topk(spark, r2, ["apple"], k=5).collect()] == [7]
+
+
+def test_search_template_store_crud_and_render(tmp_path):
+    from go_mysql_elasticsearch_spark.index.search_templates import (
+        delete_search_template,
+        get_search_template,
+        put_search_template,
+        render_stored,
+    )
+
+    store = str(tmp_path / "tpls")
+    put_search_template(store, "t1", "+{{a}} {{b}}")
+    assert get_search_template(store, "t1") == "+{{a}} {{b}}"
+    # upsert replaces
+    put_search_template(store, "t1", "{{a}} only")
+    assert render_stored(store, "t1", {"a": "x", "b": "y"}) == "x only"
+    # missing id == the client's 404
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="nope"):
+        get_search_template(store, "nope")
+    assert delete_search_template(store, "t1") is True
+    assert delete_search_template(store, "t1") is False
+    with _pytest.raises(KeyError):
+        render_stored(store, "t1", {})
+    # the store file is never torn: tmp-then-replace leaves no .tmp
+    import os as _os
+
+    assert not any(p.endswith(".tmp") for p in _os.listdir(store))

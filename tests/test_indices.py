@@ -133,3 +133,32 @@ def test_warmers_crud_and_warm(spark, tmp_path):
     assert all(t in r._df_cache for t in tids.values())
     delete_warmer(idx, "w1")
     assert set(get_warmers(idx)) == {"w2"}
+
+
+def test_cluster_health_status_ladder(spark, tmp_path):
+    from go_mysql_elasticsearch_spark.index.indices import (
+        close_index,
+        cluster_health,
+        index_stats_summary,
+    )
+
+    store = tmp_path / "cluster"
+    store.mkdir()
+    _mini(spark, store, name="ia")
+    _mini(spark, store, name="ib", rows=[(5, "delta"), (6, "epsilon"), (7, "zeta")])
+    (store / "not-an-index").mkdir()  # stray dir is ignored
+
+    h = cluster_health(str(store))
+    assert h["status"] == "green" and h["number_of_indices"] == 2
+    assert h["n_docs"] == 5
+    assert index_stats_summary(str(store / "ia"))["n_docs"] == 2
+
+    # closed index degrades the cluster to yellow, docs still counted
+    close_index(str(store / "ib"))
+    h = cluster_health(str(store))
+    assert h["status"] == "yellow" and h["indices"]["ib"]["status"] == "yellow"
+
+    # an index skeleton with no committed manifest is red
+    (store / "broken" / "segments").mkdir(parents=True)
+    h = cluster_health(str(store))
+    assert h["status"] == "red" and h["indices"]["broken"]["n_segments"] == 0
