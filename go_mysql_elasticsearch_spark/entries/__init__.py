@@ -29,6 +29,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "pipeline_mov_avg_holt_winters_mult",
     "stored_template_query",
+    "stream_topk_cms",
     "alias_query",
     "template_settings",
     "put_settings_dynamic",

@@ -711,10 +711,44 @@ def q_stream_dedup(spark, sf_dir):
     return dedup_events(ev).orderBy("event_id")
 
 
+def q_stream_topk_cms(spark, sf_dir):
+    """Mergeable heavy-hitter sketch over the event stream, batch twin:
+    CMS estimates + exact counts per event_type. The streaming path
+    (streaming/cmsstream.py — per-batch 4096-cell partials folded into
+    one driver table) is asserted CELL-WISE BIT-IDENTICAL to this batch
+    sketch in tests/test_cmsstream.py (CMS linearity), so gating the
+    batch form gates the stream."""
+    from ..pipeline.cms import estimate_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ["click", "view", "purchase", "signup", "error"]
+    toks = ev.select(F.col("event_type").alias("term"))
+    est = estimate_df(spark, toks, probes)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    return (
+        est.join(exact, "term", "left")
+        .select("term", "est", F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))
+        .orderBy("term")
+    )
+
+
+def _stream_topk_cms_sql() -> str:
+    from ..pipeline.cms import estimate_sql
+
+    probes = ["click", "view", "purchase", "signup", "error"]
+    toks_select = "SELECT event_type AS term FROM events"
+    in_list = ", ".join(f"'{t}'" for t in probes)
+    return f"""WITH e AS ({estimate_sql(toks_select, 'duckdb', probes)}),
+x AS (SELECT term, count(*) AS exact FROM ({toks_select}) WHERE term IN ({in_list}) GROUP BY term)
+SELECT e.term, e.est, cast(coalesce(x.exact, 0) AS BIGINT) AS exact
+FROM e LEFT JOIN x USING (term) ORDER BY term"""
+
+
 from ..streaming.dedupstream import dedup_events_oracle_sql  # noqa: E402
 
 ENTRIES.update({
     "stream_dedup": (q_stream_dedup, dedup_events_oracle_sql() + " ORDER BY event_id"),
+    "stream_topk_cms": (q_stream_topk_cms, _stream_topk_cms_sql()),
 })
 
 

@@ -362,3 +362,36 @@ def test_pii_scrub_is_pure_projection(spark):
     s = plan_of(pii_scrub(docs))
     assert "Exchange" not in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """The df-capped gram join must stay a hash join on the gram key —
+    no cartesian/nested-loop anywhere (the 100 TB safety property)."""
+    from go_mysql_elasticsearch_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+        + [(10, "one two three four five")],
+        "doc_id long, text string",
+    )
+    s = plan_of(ngram_jaccard_pairs(docs, n=3, tau=0.5, max_gram_df=20))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_analyze_is_codegen_projection_with_pushdown(spark):
+    """_analyze: the doc_id<5 filter reaches the parquet scan and the
+    offset arithmetic stays JVM-side (no Python eval in the plan)."""
+    from go_mysql_elasticsearch_spark.entries.services import q_analyze
+
+    from .conftest import SF_SMALL
+
+    s = plan_of(q_analyze(spark, SF_SMALL))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "LessThan(doc_id,5)" in s or "doc_id#" in s and "< 5)" in s, s
+    # and only the two needed columns are read (column pruning)
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", s)
+    assert scans and all(
+        {c.split("#")[0] for c in cols.split(",")} == {"doc_id", "text"} for cols in scans
+    ), scans
