@@ -305,3 +305,25 @@ def cluster_health(store_dir: str) -> dict:
         "n_docs": sum(i["n_docs"] for i in indices.values()),
         "indices": indices,
     }
+
+
+def get_index(spark, index_dir: str, alias_store: str | None = None) -> dict:
+    """indices_get.go: the composed GET /{index} response — settings +
+    mapping + stats + the aliases pointing at this index. Pure
+    composition of the implemented pieces (the client composes the
+    same way server-side)."""
+    from .aliases import get_aliases
+    from .reader import IndexReader
+
+    out = {
+        "settings": get_settings(index_dir),
+        "mappings": dict(get_mapping(IndexReader(spark, index_dir))),
+        "stats": index_stats_summary(index_dir),
+        "aliases": [],
+    }
+    if alias_store:
+        tgt = os.path.abspath(index_dir)
+        out["aliases"] = sorted(
+            a for a, d in get_aliases(alias_store).items() if os.path.abspath(d) == tgt
+        )
+    return out

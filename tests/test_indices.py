@@ -162,3 +162,16 @@ def test_cluster_health_status_ladder(spark, tmp_path):
     (store / "broken" / "segments").mkdir(parents=True)
     h = cluster_health(str(store))
     assert h["status"] == "red" and h["indices"]["broken"]["n_segments"] == 0
+
+
+def test_get_index_composition(spark, tmp_path):
+    from go_mysql_elasticsearch_spark.index.aliases import put_alias
+    from go_mysql_elasticsearch_spark.index.indices import get_index
+
+    idx = _mini(spark, tmp_path)
+    store = str(tmp_path / "aliases")
+    put_alias(store, "live", idx)
+    put_alias(store, "other", str(tmp_path / "elsewhere"))
+    g = get_index(spark, idx, alias_store=store)
+    assert g["mappings"]["text"] == "text" and g["stats"]["n_docs"] == 2
+    assert "bm25_k1" in g["settings"] and g["aliases"] == ["live"]
