@@ -712,19 +712,39 @@ def q_stream_dedup(spark, sf_dir):
 
 
 def q_stream_topk_cms(spark, sf_dir):
-    """Mergeable heavy-hitter sketch over the event stream, batch twin:
-    CMS estimates + exact counts per event_type. The streaming path
-    (streaming/cmsstream.py — per-batch 4096-cell partials folded into
-    one driver table) is asserted CELL-WISE BIT-IDENTICAL to this batch
-    sketch in tests/test_cmsstream.py (CMS linearity), so gating the
-    batch form gates the stream."""
-    from ..pipeline.cms import estimate_df
+    """Mergeable heavy-hitter sketch, gated through a REAL Structured
+    Streaming run: the events table is consumed as a file-source stream
+    (availableNow), each micro-batch's 4096-cell CMS partial folds into
+    one fixed 32 KiB driver table (streaming/cmsstream.py), and the
+    estimates come from THAT accumulator — so the hash gate certifies
+    the streaming path itself, not a batch stand-in. CMS linearity
+    (stream merge == one-shot batch sketch, cell-wise) is additionally
+    asserted across forced multi-file micro-batches in
+    tests/test_cmsstream.py."""
+    import os
+    import tempfile
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..streaming.cmsstream import cms_stream_sketch
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    # the file stream source wants a DIRECTORY; the fixture table is a
+    # single parquet file — expose it through a symlink dir (no copy)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="cms_src_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        src = d
+    acc = cms_stream_sketch(spark, src, schema)
     probes = ["click", "view", "purchase", "signup", "error"]
-    toks = ev.select(F.col("event_type").alias("term"))
-    est = estimate_df(spark, toks, probes)
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = spark.createDataFrame(
+        [(t, acc.estimate(t)) for t in probes], "term string, est long"
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = (
+        ev.select(F.col("event_type").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
     return (
         est.join(exact, "term", "left")
         .select("term", "est", F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))

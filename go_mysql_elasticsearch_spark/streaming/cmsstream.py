@@ -67,11 +67,16 @@ def cms_stream_sketch(
     schema: str,
     term_col: str = "event_type",
     max_files_per_trigger: int | None = 1,
+    checkpoint_dir: str | None = None,
 ) -> CmsAccumulator:
     """Run a file-source stream to completion (availableNow) folding
     every micro-batch into one CmsAccumulator. maxFilesPerTrigger=1
     forces one micro-batch per input file so the cross-batch merge is
-    actually exercised."""
+    actually exercised. The checkpoint never lives inside ``src_dir``
+    (the source may be read-only); default is a throwaway temp dir —
+    pass a durable path for a resumable production stream."""
+    import tempfile
+
     acc = CmsAccumulator()
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -81,10 +86,11 @@ def cms_stream_sketch(
     def sink(bdf, _bid):
         acc.add(cms_batch_cells(bdf, term_col))
 
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cms_ckpt_")
     q = (
         src.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
-        .option("checkpointLocation", src_dir.rstrip("/") + "._cms_ckpt")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
