@@ -102,13 +102,40 @@ def refresh_index(spark, reader):
     return IndexReader(spark, reader.index_dir)
 
 
-def forcemerge(spark, index_dir: str, max_num_segments: int = 1) -> list[dict]:
+def _tombstones_affect_live(reader) -> bool:
+    """True iff any tombstone still targets a live segment (a live
+    segment id ≤ some tombstone's upto_seg) — i.e. deleted/updated doc
+    versions are physically present and would be expunged by a
+    rewrite. Manifest ids + one tiny agg over the tombstone table."""
+    from pyspark.sql import functions as F
+
+    t = reader.tombstones()
+    if t is None:
+        return False
+    mx = t.agg(F.max("upto_seg")).collect()[0][0]
+    if mx is None:
+        return False
+    return any(int(m["segment_id"]) <= int(mx) for m in reader.manifests)
+
+
+def forcemerge(
+    spark, index_dir: str, max_num_segments: int = 1, expunge_deletes: bool = True
+) -> list[dict]:
     """indices_forcemerge.go / optimize.go: merge the live segments
     down to ``max_num_segments`` via the tiered-merge machinery
     (streaming/incremental.py merge_segments — crash-safe manifest
     supersession, per-merge cost bounded by the segments it touches).
     Greedy smallest-first grouping: each round merges the two smallest
-    live segments until the target count is reached."""
+    live segments until the target count is reached.
+
+    ``expunge_deletes`` (ES forcemerge semantics — deletes are expunged
+    as part of merging): once at the target count, if tombstones still
+    target a live segment the remaining segments are rewritten ONCE
+    more so deleted/updated versions stop occupying bytes and stop
+    counting in N/avgdl/df. Without it an index already at
+    max_num_segments would keep its deletes forever (found by
+    tests/test_admin_model.py: physical count never converged to live
+    after delete→forcemerge on a 1-segment index)."""
     from ..streaming.incremental import merge_segments
     from .reader import IndexReader
 
@@ -117,6 +144,13 @@ def forcemerge(spark, index_dir: str, max_num_segments: int = 1) -> list[dict]:
         reader = IndexReader(spark, index_dir)
         live = sorted(reader.manifests, key=lambda m: m["n_docs"])
         if len(live) <= max_num_segments:
+            if expunge_deletes and _tombstones_affect_live(reader):
+                out.append(
+                    merge_segments(
+                        spark, index_dir, [m["segment_id"] for m in live]
+                    )
+                )
+                continue  # re-check: the rewrite makes tombstones inert
             return out
         pair = [live[0]["segment_id"], live[1]["segment_id"]]
         out.append(merge_segments(spark, index_dir, pair))
@@ -243,7 +277,14 @@ def warm(spark, reader, k: int = 1) -> int:
 
 def index_stats_summary(index_dir: str) -> dict:
     """Per-index stats from the committed segment manifests — pure
-    metadata, no executor work (cluster_stats.go's per-index shape)."""
+    metadata, no executor work (cluster_stats.go's per-index shape).
+
+    ``n_docs`` is the PHYSICAL doc count (sum over segment manifests):
+    upserted/deleted docs keep counting until a merge GCs their
+    segments — exactly Lucene's docs.count-vs-docs.deleted split, where
+    the stats API reads segment metadata and liveness is a query-time
+    concept (here: tombstone filtering in IndexReader.docstore). After
+    forcemerge(max_num_segments=1) physical == live."""
     segs = sorted(
         glob.glob(os.path.join(gen_root(index_dir), "segments", "seg=*", "manifest.json"))
     )

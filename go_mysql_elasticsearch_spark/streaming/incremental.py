@@ -246,8 +246,11 @@ def merge_segments(
     import shutil
 
     ids = [str(s) for s in segment_ids]
-    if len(ids) < 2:
-        raise ValueError("merge needs at least two segments")
+    if not ids:
+        raise ValueError("merge needs at least one segment")
+    # a SINGLE-segment "merge" is the expunge-deletes rewrite
+    # (forcemerge on an index already at max_num_segments whose
+    # tombstones still target it) — same fold, source set of one
     reader = IndexReader(spark, index_dir)
     known = {str(m["segment_id"]) for m in reader.manifests}
     missing = [s for s in ids if s not in known]

@@ -175,3 +175,24 @@ def test_get_index_composition(spark, tmp_path):
     g = get_index(spark, idx, alias_store=store)
     assert g["mappings"]["text"] == "text" and g["stats"]["n_docs"] == 2
     assert "bm25_k1" in g["settings"] and g["aliases"] == ["live"]
+
+
+def test_forcemerge_expunges_deletes_on_single_segment(spark, tmp_path):
+    """ES forcemerge semantics: an index already at max_num_segments
+    whose tombstones still target a live segment gets ONE rewrite so
+    deleted versions stop counting (found by tests/test_admin_model.py)."""
+    from go_mysql_elasticsearch_spark.index.indices import index_stats_summary
+
+    idx = _mini(spark, tmp_path, rows=[(0, "alpha"), (1, "beta"), (2, "gamma")])
+    ch = spark.createDataFrame([(1, None, "delete")], "doc_id long, text string, action string")
+    apply_changes(spark, idx, ch, n_shards=1)
+    assert index_stats_summary(idx)["n_docs"] == 3  # tombstoned, still physical
+
+    merged = forcemerge(spark, idx, max_num_segments=1)
+    assert len(merged) == 1 and merged[0]["n_docs"] == 2
+    st = index_stats_summary(idx)
+    assert st["n_segments"] == 1 and st["n_docs"] == 2
+    # idempotent: a second forcemerge does nothing (tombstones inert)
+    assert forcemerge(spark, idx, max_num_segments=1) == []
+    r = IndexReader(spark, idx)
+    assert {x["doc_id"] for x in r.docstore().select("doc_id").collect()} == {0, 2}

@@ -87,8 +87,8 @@ def test_crash_before_gc_is_invisible_to_readers(spark, idx3):
 
 
 def test_merge_rejects_bad_ids(spark, idx3):
-    with pytest.raises(ValueError, match="at least two"):
-        merge_segments(spark, idx3, [0])
+    with pytest.raises(ValueError, match="at least one"):
+        merge_segments(spark, idx3, [])
     with pytest.raises(ValueError, match="unknown/superseded"):
         merge_segments(spark, idx3, [0, 99])
     merge_segments(spark, idx3, [0, 1], n_shards=2)
