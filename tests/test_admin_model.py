@@ -79,9 +79,11 @@ def test_admin_model_random_ops(spark, tmp_path, seed):
     for step in range(N_OPS):
         name = rng.choice(names)
         idx = str(tmp_path / name)
-        op = rng.choice(["upsert", "delete", "repoint", "close_open", "settings", "merge"])
+        op = rng.choice(
+            ["upsert", "delete", "repoint", "close_open", "settings", "merge", "snapshot"]
+        )
 
-        if model[name]["closed"] and op in ("upsert", "delete", "merge"):
+        if model[name]["closed"] and op in ("upsert", "delete", "merge", "snapshot"):
             op = "close_open"  # writes on a closed index: just reopen
 
         if op == "upsert":
@@ -122,6 +124,31 @@ def test_admin_model_random_ops(spark, tmp_path, seed):
         elif op == "merge":
             forcemerge(spark, idx, max_num_segments=1)  # must not change docs
             model[name]["physical"] = len(model[name]["docs"])  # GC collapses to live
+        elif op == "snapshot":
+            # snapshot → restore to a dir OUTSIDE the health store →
+            # the restored index serves exactly the as-of doc set
+            from go_mysql_elasticsearch_spark.index.snapshot import (
+                restore_index,
+                snapshot_index,
+            )
+
+            snap = str(tmp_path.parent / f"snap_{seed}_{step}")
+            dest = str(tmp_path.parent / f"restored_{seed}_{step}")
+            snapshot_index(idx, snap)
+            as_of = dict(model[name]["docs"])
+            # mutate the SOURCE after the snapshot so staleness is detectable
+            rows = _mkdocs(rng, next_id, 1)
+            next_id += 1
+            ch = spark.createDataFrame(
+                [(i, t, "update") for i, t in rows], "doc_id long, text string, action string"
+            )
+            apply_changes(spark, idx, ch, n_shards=1)
+            model[name]["docs"].update(dict(rows))
+            model[name]["physical"] += 1
+            restore_index(snap, dest)
+            assert _live_docs(spark, dest) == set(as_of.items()), (
+                f"seed={seed} step={step} restored snapshot diverged"
+            )
 
         # ---- invariants after every op ----
         for n2 in names:
