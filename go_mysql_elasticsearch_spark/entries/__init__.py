@@ -23,6 +23,7 @@ from __future__ import annotations
 _PRIORITY = [
     # new in round 5
     "jpeg_image_features",
+    "gif_image_features",
     "flac_audio_features",
     "analyze",
     "source_filtering",

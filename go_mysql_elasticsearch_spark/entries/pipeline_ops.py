@@ -859,6 +859,45 @@ def q_png_image_features(spark, sf_dir):
     return image_features(_png_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
 
 
+def _gif_corpus(spark, sf_dir):
+    """Same closed-form 8x8 pixels as the PPM/PNG fixtures, but packed
+    as REAL GIF87a: pixel k of doc d is palette INDEX (d*31+3k)%256
+    with palette[j] = (j, (j+1)%256, (j+2)%256), so the decoded RGB is
+    exactly the PPM formula — the oracle is unchanged while the ENGINE
+    must run the full LZW decode (variable-width codes, dictionary
+    rebuild, palette lookup). Any decode bug breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..pipeline.multimodal import encode_gif
+
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) + 1) % 256, (np.arange(256) + 2) % 256],
+        axis=1,
+    ).astype(np.uint8)
+
+    def make(batches):
+        for pdf in batches:
+            imgs = [
+                encode_gif(((int(d) * 31 + 3 * np.arange(64)) % 256)
+                           .astype(np.uint8).reshape(8, 8), pal)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "img": imgs})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(make, schema="doc_id long, img binary")
+
+
+def q_gif_image_features(spark, sf_dir):
+    """REAL GIF decode (pipeline/multimodal.py decode_gif: LZW
+    variable-width entropy decode + palette lookup) through the same
+    Arrow-batched feature kernel as the PPM/PNG/JPEG paths."""
+    from ..pipeline.multimodal import image_features
+
+    return image_features(_gif_corpus(spark, sf_dir), bin_col="img").orderBy("doc_id")
+
+
 def _jpeg_corpus(spark, sf_dir):
     """Deterministic 16x16 grayscale baseline JPEGs: four flat 8x8
     blocks, block k of doc d holding value (d*31 + 59*k) % 256, packed
@@ -922,6 +961,9 @@ ENTRIES.update({
     # identical oracle: the pixels are the same closed form — only the
     # container (and therefore the engine-side decode work) differs
     "png_image_features": (q_png_image_features, _IMAGE_FEATURES_SQL),
+    # identical oracle again: palette indices are chosen so decoded RGB
+    # equals the PPM closed form — only the LZW decode work differs
+    "gif_image_features": (q_gif_image_features, _IMAGE_FEATURES_SQL),
     "jpeg_image_features": (q_jpeg_image_features, _JPEG_FEATURES_SQL),
 })
 

@@ -83,6 +83,8 @@ def decode_image(b: bytes) -> "np.ndarray":
         return decode_png(b)  # real PNG decode below — stdlib zlib only
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)  # real baseline JPEG decode below
+    if b[:4] == b"GIF8":
+        return decode_gif(b)  # real GIF87a/89a LZW decode below
     if b[:2] not in (b"P6", b"P5"):
         raise ValueError(f"unsupported image magic {b[:2]!r}")
     # header: magic, width, height, maxval — tokens separated by
@@ -258,6 +260,199 @@ def encode_png(px: "np.ndarray", filters: list[int] | None = None) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# --- GIF: real GIF87a decode/encode (LZW), pure python/numpy ---------------
+#
+# The last of the classic palette formats: header + logical screen
+# descriptor, global color table, image descriptor, LZW-compressed
+# index stream in length-prefixed sub-blocks. The decoder implements
+# the variable-width LZW exactly per the spec: codes read LSB-first,
+# clear/end codes at 2^min and 2^min+1, dictionary rebuilt on clear,
+# the KwKwK self-reference case, and the width bump when the next free
+# index reaches 2^size (capped at 12 bits — the dictionary then stays
+# full until a clear). The encoder mirrors it one step ahead (its bump
+# fires at 2^size + 1 — it adds each entry one code earlier than the
+# decoder reconstructs it) and emits a clear when the table fills;
+# both directions are pinned by large random roundtrips that force
+# several width bumps and a mid-stream clear (tests).
+
+
+def decode_gif(b: bytes) -> "np.ndarray":
+    """First frame of a GIF87a/89a as uint8 (h, w, 3) via palette
+    lookup. Interlaced images raise (the fixtures and the sane 99% of
+    machine-generated GIFs are sequential)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: {b[:6]!r}")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    packed, pos = b[10], 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        iw = int.from_bytes(b[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7:pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, iw * ih)
+        px = pal[np.asarray(idx, dtype=np.int64)]
+        return px.reshape(ih, iw, 3)
+    raise ValueError("GIF contains no image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    size = min_code + 1
+    prev: tuple[int, ...] | None = None
+
+    def reset():
+        nonlocal table, size, prev
+        table = [(i,) for i in range(1 << min_code)] + [(), ()]
+        size = min_code + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    i = 0
+    while True:
+        while nbits < size:
+            if i >= len(data):
+                return out  # stream ended without END code — tolerate
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return out
+        if code < len(table) and code != len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} of {len(table)}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        prev = entry
+        if len(out) >= n_expected:
+            return out[:n_expected]
+
+
+def encode_gif(indices: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """GIF87a from a (h, w) uint8 index array + (n≤256, 3) palette —
+    the fixture/property-test inverse of :func:`decode_gif`, real LZW
+    (dictionary growth, width bumps, clear on table-full)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:n] = palette
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size
+    out += full.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = max(2, bits)
+    out.append(min_code)
+    payload = _lzw_encode(indices.astype(np.uint8).reshape(-1).tolist(), min_code)
+    for off in range(0, len(payload), 255):
+        chunk = payload[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_encode(seq: list[int], min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    buf = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {}
+    size = avail = 0
+
+    def reset():
+        nonlocal table, size, avail
+        table = {(i,): i for i in range(1 << min_code)}
+        size = min_code + 1
+        avail = end + 1
+
+    reset()
+    emit(clear, size)
+    cur: tuple[int, ...] = ()
+    for px in seq:
+        nxt = cur + (px,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], size)
+        table[nxt] = avail
+        avail += 1
+        # one step AHEAD of the decoder's bump at 2^size: the decoder
+        # reconstructs this entry only when it reads the NEXT code
+        if avail == (1 << size) + 1 and size < 12:
+            size += 1
+        cur = (px,)
+        if avail == 4096:  # table full: clear and rebuild
+            emit(clear, size)
+            reset()
+    if cur:
+        emit(table[cur], size)
+    emit(end, size)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
 
 
 # --- JPEG: real baseline decode/encode, stdlib + numpy, no codec library ---

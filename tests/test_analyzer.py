@@ -96,3 +96,25 @@ def test_source_filter_cols_globs():
         "doc_id", "url", "lang", "text", "dl",
     ]
     assert source_filter_cols(names, ["nope*"], None) == []
+
+
+def test_analyze_matches_python_reference_exactly(spark):
+    """Differential: the codegen offset arithmetic must equal a plain
+    re.finditer reference on every corpus doc (token, position, spans)."""
+    import re as _re
+
+    from go_mysql_elasticsearch_spark.entries.services import q_analyze
+    from .conftest import SF_SMALL
+
+    got = [
+        (r["doc_id"], r["position"], r["token"], r["start_offset"], r["end_offset"])
+        for r in q_analyze(spark, SF_SMALL).collect()
+    ]
+    want = []
+    for row in (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id < 5").orderBy("doc_id").collect()
+    ):
+        for pos, m in enumerate(_re.finditer(r"[a-z0-9]+", row["text"].lower())):
+            want.append((row["doc_id"], pos, m.group(0), m.start(), m.end()))
+    assert got == want

@@ -263,3 +263,40 @@ def test_flac_crc_guards():
         decode_flac(bytes(blob))
     with pytest.raises(ValueError, match="fLaC"):
         decode_flac(b"not flac at all")
+
+
+def test_gif_lzw_roundtrip_all_paths():
+    """Encoder/decoder LZW sync across every tricky path: width bumps,
+    the 4096-entry clear, KwKwK self-reference, odd dims, small
+    palettes. Any off-by-one in the code-size bump rule fails here."""
+    import numpy as np
+
+    from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) + 1) % 256, (np.arange(256) + 2) % 256], axis=1
+    ).astype(np.uint8)
+    for shape in [(8, 8), (37, 23), (128, 128)]:  # big one forces a clear
+        idx = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx.astype(np.int64)]).all()
+    # repetitive content: long dictionary chains
+    idx = np.tile(np.arange(16, dtype=np.uint8), 1024).reshape(128, 128)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx.astype(np.int64)]).all()
+    # KwKwK: constant run
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx.astype(np.int64)]).all()
+    # 4-color palette (min code size 2)
+    idx = rng.randint(0, 4, size=(19, 31)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, pal[:4])) == pal[:4][idx.astype(np.int64)]).all()
+
+
+def test_gif_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from go_mysql_elasticsearch_spark.pipeline.multimodal import decode_gif, decode_image
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF....")
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF87a" + b"\x00" * 7)  # no image descriptor
