@@ -70,7 +70,9 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def vb_decode_concat(b: np.ndarray, byte_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def vb_decode_concat(
+    b: np.ndarray, byte_lens: np.ndarray, counts: bool = True
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Decode a CONCATENATION of varbyte streams in one vectorized pass.
 
     Varbyte values are self-delimiting, so the concatenation of N
@@ -82,12 +84,19 @@ def vb_decode_concat(b: np.ndarray, byte_lens: np.ndarray) -> tuple[np.ndarray, 
     128-posting block (per-call numpy overhead on tiny arrays dominated
     the driver-path scorer at ~50 us x 30k blocks; see BENCH r4 notes).
 
-    Returns ``(values uint64, values_per_stream int64)``.
+    Returns ``(values uint64, values_per_stream int64)``; the second
+    element is None when ``counts=False`` (r6: callers that ignore the
+    per-stream counts — the tf/dl decodes — skip two full passes).
     """
     byte_lens = np.asarray(byte_lens, dtype=np.int64)
     if b.size == 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(byte_lens.size, dtype=np.int64)
+        z = np.zeros(byte_lens.size, dtype=np.int64) if counts else None
+        return np.empty(0, dtype=np.uint64), z
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # fast path: every value fits 7 bits (common for tf columns) —
+        # the byte stream IS the value stream
+        return b.astype(np.uint64), (byte_lens.copy() if counts else None)
     ends = np.flatnonzero(is_last)
     lens = np.diff(np.concatenate(([np.int64(-1)], ends)))
     starts = ends - lens + 1
@@ -96,6 +105,8 @@ def vb_decode_concat(b: np.ndarray, byte_lens: np.ndarray) -> tuple[np.ndarray, 
         mask = lens > g
         idx = starts[mask] + g
         vals[mask] |= (b[idx] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * g)
+    if not counts:
+        return vals, None
     cum = np.concatenate(([0], np.cumsum(is_last, dtype=np.int64)))
     vcounts = np.diff(np.concatenate(([0], cum[np.cumsum(byte_lens)])))
     return vals, vcounts
@@ -119,8 +130,8 @@ def unpack_blocks_batch(
     bd, ld = _concat_bufs(doc_bufs)
     deltas, nper = vb_decode_concat(bd, ld)
     doc_ids = delta_decode_segmented(deltas, nper)
-    tfs, _ = vb_decode_concat(*_concat_bufs(tf_bufs))
-    dls, _ = vb_decode_concat(*_concat_bufs(dl_bufs))
+    tfs, _ = vb_decode_concat(*_concat_bufs(tf_bufs), counts=False)
+    dls, _ = vb_decode_concat(*_concat_bufs(dl_bufs), counts=False)
     return doc_ids, tfs, dls, nper
 
 
@@ -130,7 +141,7 @@ def unpack_positions_batch(pos_bufs, tfs: np.ndarray) -> tuple[np.ndarray, np.nd
     reset at every posting, so block boundaries need no special
     handling). Returns (flat positions, per-posting start offsets)."""
     bp, lp = _concat_bufs(pos_bufs)
-    deltas, _ = vb_decode_concat(bp, lp)
+    deltas, _ = vb_decode_concat(bp, lp, counts=False)
     flat = delta_decode_segmented(deltas, tfs)
     ends = np.cumsum(tfs.astype(np.int64))
     return flat, ends - tfs.astype(np.int64)

@@ -40,6 +40,7 @@ class IndexReader:
         self._tomb_cache: dict[int, int] | None = None
         self._tomb_count: int | None = None
         self._serving: DataFrame | None = None  # open_serving() residency
+        self._driver_postings = None  # open_serving() driver-side copy (pandas)
         # per-index analyzer/scoring settings (K5 parity); defaults if
         # the index predates settings persistence. The GENERATION
         # root's copy wins — it is written by the same build that
@@ -169,7 +170,7 @@ class IndexReader:
                     self.spark.conf.set("spark.sql.adaptive.enabled", "false")
                 st["count"] += 1
                 self._aqe_held = True
-            n = n_parts or self.spark.sparkContext.defaultParallelism
+            n = n_parts or self._serving_parts()
             self._serving = (
                 self._union("postings.parquet")
                 .repartition(n, "segment", "shard")
@@ -179,10 +180,63 @@ class IndexReader:
             self._serving.count()  # materialize the residency eagerly
         return self._serving
 
+    # Residency sizing (guide §2.2/§6): ~32 MB of packed postings per
+    # cached partition. Derived from exact manifest byte counters, so it
+    # is scale-adaptive rather than a constant tuned for local mode: a
+    # toy index opens as a handful of partitions (per-query task fan-out
+    # is the dominant serving cost there — BASELINE.md decomposition:
+    # a bare residency scan costs 0.09 s at 8 partitions vs 0.22 s at
+    # 32), while a 10^12-doc index saturates the executor pool (capped
+    # at 4x parallelism, the usual 2-4x-cores rule for balanced tasks).
+    SERVING_PART_BYTES = 32 * 1024 * 1024
+
+    def _serving_parts(self) -> int:
+        total = sum(m.get("postings_bytes", 0) for m in self.manifests)
+        para = self.spark.sparkContext.defaultParallelism
+        if not total:  # pre-v4 manifests lack byte counters
+            return para
+        return min(max(1, -(-total // self.SERVING_PART_BYTES)), 4 * para)
+
+    # Above this many packed-postings bytes the driver-side serving copy
+    # is refused and queries keep the pruned-scan pull path. An index
+    # past the cap is by definition in the distributed-serving regime.
+    DRIVER_RESIDENT_MAX_BYTES = 512 * 1024 * 1024
+
+    def driver_postings(self):
+        """Driver-resident postings copy (pandas), or None.
+
+        ES search-head parity: a data node serves queries from postings
+        held in RAM (heap + page cache); the Spark translation of that
+        is the executor-side residency (open_serving). But the DRIVER
+        path — which already pulls each query's matched blocks to the
+        coordinator — still paid one Spark job per query for the pull
+        (~60 ms fixed job overhead at any index size, the measured p50
+        floor of the small-index bench tier). While a serving session
+        is open, a bytes-capped index keeps a full pandas copy of the
+        postings on the driver, so the driver path slices it locally:
+        zero Spark jobs per query. The copy is built ONCE per
+        open_serving from the same parquet the executor residency reads
+        (nothing persists across processes — close_serving drops it),
+        and the cap routes any index past DRIVER_RESIDENT_MAX_BYTES to
+        the unchanged distributed path, so the 10^12-doc regime never
+        touches it. Results are bit-identical: the query path applies
+        the same tid filter / column selection to the same rows
+        (asserted, tests/test_serving_driver_resident.py)."""
+        if self._serving is None or self._driver_postings is False:
+            return None
+        if self._driver_postings is None:
+            total = sum(m.get("postings_bytes", 0) for m in self.manifests)
+            if not total or total > self.DRIVER_RESIDENT_MAX_BYTES:
+                self._driver_postings = False
+                return None
+            self._driver_postings = self._union("postings.parquet").toPandas()
+        return self._driver_postings
+
     def close_serving(self) -> None:
         if self._serving is not None:
             self._serving.unpersist()
             self._serving = None
+        self._driver_postings = None  # release the driver-side copy
         if getattr(self, "_aqe_held", False):
             self._aqe_held = False
             st = _AQE_STATE.get(self.spark)

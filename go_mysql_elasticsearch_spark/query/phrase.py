@@ -38,6 +38,19 @@ _TOK = re.compile(TOKEN_PATTERN)
 _EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "raw": pd.Series(dtype="float64")})
 
 
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a``'s values in SORTED ``b`` — the chain
+    verifier's key arrays are sorted by construction (candidate-major
+    packed keys; np.unique covers), so a searchsorted probe replaces
+    np.isin's internal concat+sort (r6: profiled at ~40% of the phrase
+    scorer). Semantics identical to ``np.isin(a, b)``."""
+    if b.size == 0:
+        return np.zeros(a.size, dtype=bool)
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = b.size - 1
+    return b[idx] == a
+
+
 def phrase_words(phrase: str, pattern: str | None = None) -> list[str]:
     """Ordered tokens with duplicates (phrase order matters)."""
     rx = re.compile(pattern) if pattern else _TOK
@@ -53,13 +66,22 @@ POS_DECODE_STATS = {"decoded": 0, "blocks": 0}
 
 
 class _TidPostings:
-    """One term's postings within a (segment, shard) group: docs/tfs/
-    dls batch-decoded up front (the intersection and scoring need
-    them); POSITION payloads decode LAZILY, only for the blocks that
-    hold candidate postings — decode cost ∝ candidate blocks, not the
-    term's df."""
+    """One term's postings within a group: docs/tfs/dls batch-decoded
+    up front (the intersection and scoring need them); POSITION
+    payloads decode LAZILY, only for the blocks that hold candidate
+    postings — decode cost ∝ candidate blocks, not the term's df.
 
-    __slots__ = ("docs", "tfs", "dls", "_pos_bufs", "_nper", "_bstarts")
+    Groups may span SHARDS (r6: the driver path scores per SEGMENT so
+    each term decodes in one vectorized pass instead of n_shards tiny
+    ones — guide §1.2 per-task work): shard sub-lists interleave in
+    doc space, so when the block-order doc array is not globally
+    sorted a stable permutation exposes sorted ``docs/tfs/dls`` views
+    while position decode keeps operating in block space (``_perm``
+    translates posting indexes; per-(segment, shard) groups are
+    already sorted and skip the permutation entirely)."""
+
+    __slots__ = ("docs", "tfs", "dls", "_pos_bufs", "_nper", "_bstarts",
+                 "_perm", "_tfs_b")
 
     def __init__(self, g: pd.DataFrame):
         order = np.argsort(g["first_doc_id"].to_numpy())
@@ -68,9 +90,20 @@ class _TidPostings:
         # ONE vectorized varbyte pass per column over the whole
         # sub-list (delta resets at block boundaries)
         d, t, l, nper = unpack_blocks_batch(gd, gt, gl)
-        self.docs = d.astype(np.int64)
-        self.tfs = t.astype(np.int64)
-        self.dls = l.astype(np.int64)
+        docs_b = d.astype(np.int64)
+        tfs_b = t.astype(np.int64)
+        self._tfs_b = tfs_b  # block-order tfs: position-slice lengths
+        if docs_b.size and not np.all(docs_b[1:] >= docs_b[:-1]):
+            perm = np.argsort(docs_b, kind="stable")
+            self._perm = perm
+            self.docs = docs_b[perm]
+            self.tfs = tfs_b[perm]
+            self.dls = l.astype(np.int64)[perm]
+        else:
+            self._perm = None
+            self.docs = docs_b
+            self.tfs = tfs_b
+            self.dls = l.astype(np.int64)
         self._pos_bufs = g["pos_vb"].to_numpy()[order]
         self._nper = nper
         self._bstarts = np.cumsum(nper) - nper  # first posting idx per block
@@ -81,12 +114,15 @@ class _TidPostings:
         return np.searchsorted(self.docs, doc_ids)
 
     def positions_for(self, pidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Positions of the requested (sorted) posting indexes:
-        ``(flat, lens)`` where posting ``pidx[i]`` owns the next
-        ``lens[i]`` values of ``flat``. Decodes ONLY the blocks the
-        requests fall in — one batched varbyte pass over that subset."""
+        """Positions of the requested posting indexes (in the sorted
+        ``docs`` space): ``(flat, lens)`` where posting ``pidx[i]``
+        owns the next ``lens[i]`` values of ``flat``. Decodes ONLY the
+        blocks the requests fall in — one batched varbyte pass over
+        that subset."""
         if pidx.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        if self._perm is not None:
+            pidx = self._perm[pidx]  # → block-space posting indexes
         blocks = np.searchsorted(self._bstarts, pidx, side="right") - 1
         need = np.unique(blocks)
         n_blocks = len(self._pos_bufs)
@@ -94,13 +130,13 @@ class _TidPostings:
             # dense candidates: the subset bookkeeping costs more than
             # it saves — decode the whole sub-list in one pass
             POS_DECODE_STATS["decoded"] += n_blocks
-            flat, offs_all = unpack_positions_batch(self._pos_bufs, self.tfs)
+            flat, offs_all = unpack_positions_batch(self._pos_bufs, self._tfs_b)
             flat = flat.astype(np.int64)
             offs, loc = offs_all, pidx
         else:
             POS_DECODE_STATS["decoded"] += int(need.size)
             tf_slices = [
-                self.tfs[self._bstarts[b]: self._bstarts[b] + self._nper[b]] for b in need
+                self._tfs_b[self._bstarts[b]: self._bstarts[b] + self._nper[b]] for b in need
             ]
             tfs_cat = np.concatenate(tf_slices)
             flat, _ = unpack_positions_batch([self._pos_bufs[b] for b in need], tfs_cat)
@@ -112,7 +148,7 @@ class _TidPostings:
                 [np.arange(self._bstarts[b], self._bstarts[b] + self._nper[b]) for b in need]
             )
             loc = np.searchsorted(gidx, pidx)
-        lens = self.tfs[pidx]
+        lens = self._tfs_b[pidx]
         total = int(lens.sum())
         if total == 0:
             return np.empty(0, dtype=np.int64), lens
@@ -164,7 +200,7 @@ def _make_positional_scorer(
             return _EMPTY
         cand = data[need[0]].docs
         for t in need[1:]:
-            cand = np.intersect1d(cand, data[t].docs, assume_unique=True)
+            cand = cand[_in_sorted(cand, data[t].docs)]
         if prefix_tids and not any(t in data for t in prefix_tids):
             return _EMPTY
         if dead and cand.size:
@@ -207,14 +243,19 @@ def _make_positional_scorer(
         for j in range(1, m):
             if surv.size == 0:
                 return _EMPTY
-            surv = surv[np.isin(surv, window_cover(keyed_positions(data[chain_tids[j]]), j))]
+            surv = surv[_in_sorted(surv, window_cover(keyed_positions(data[chain_tids[j]]), j))]
         if prefix_tids is not None:
             if surv.size == 0:
                 return _EMPTY
             exp_keys = np.concatenate(
                 [keyed_positions(data[t]) for t in prefix_tids if t in data]
             )
-            surv = surv[np.isin(surv, window_cover(exp_keys, m))]
+            # multi-expansion concat is not globally sorted; _in_sorted
+            # needs it sorted (slop>0 covers sort via np.unique anyway)
+            cover = window_cover(exp_keys, m)
+            if slop == 0:
+                cover = np.sort(cover)
+            surv = surv[_in_sorted(surv, cover)]
         if surv.size == 0:
             return _EMPTY
         hit_idx = np.unique(surv >> 32)
@@ -341,7 +382,21 @@ def _positional_hits(
         or (strategy == "auto" and est_bytes <= DRIVER_PATH_MAX_BYTES)
     )
     if use_driver:
-        pdf = matched.toPandas()
+        from .wand import _driver_matched
+
+        pdf = _driver_matched(
+            reader, all_tids,
+            ["segment", "shard", "tid", "first_doc_id",
+             "docs_vb", "tfs_vb", "dls_vb", "pos_vb"],
+        )
+        if pdf is None:
+            pdf = matched.toPandas()
+        # NOTE (r6): segment-level grouping was tried here (one scorer
+        # call per segment, _TidPostings tolerating shard-mixed doc
+        # order) and measured SLOWER in an interleaved A/B (557 ms vs
+        # 488 ms for qb_phrase) — the chain-verify np.isin/intersect
+        # costs grow superlinearly with group size and dominate the
+        # saved per-group dispatch. Per-(segment, shard) stays.
         frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
         hits = pd.concat(frames, ignore_index=True) if frames else _EMPTY
         if topk is not None and len(hits) > topk:

@@ -316,6 +316,146 @@ def _make_group_scorer(idfs: dict[int, float], avgdl: float, k: int, mode: str,
     return score_group
 
 
+def _score_matched_driver(
+    pdf: pd.DataFrame,
+    idfs: dict[int, float],
+    avgdl: float,
+    k: int,
+    mode: str,
+    min_should: int,
+    dead_upto: dict[int, int],
+    n_terms: int,
+    return_all: bool,
+    k1: float | None,
+    b: float | None,
+) -> pd.DataFrame:
+    """Driver-path scorer, vectorized at SEGMENT level (r6, guide §1.2
+    per-task work): the per-(segment, shard) loop existed to share code
+    with the distributed scorer, but on the driver it decomposed every
+    query into n_shards tiny numpy calls — profiled at ~0.5M Python
+    function calls / 0.17 s per 640k-doc OR query, dominated by
+    per-group varbyte decode (576 calls) and pandas groupby overhead.
+    Shard grouping is a *distribution* concern; the scoring math only
+    needs per-SEGMENT doc spaces (tombstones are segment-scoped, and a
+    doc lives in exactly one shard, so segment-level intersection /
+    group-sum computes the identical result). This kernel decodes each
+    (segment, term)'s blocks in ONE vectorized pass and scores with a
+    handful of numpy ops.
+
+    Bit-identical to concatenating the per-group scorer's frames: the
+    per-doc float addition order is unchanged (terms in tid-sorted
+    order, one posting per term per doc), tfpart/idf are elementwise,
+    the same rounding is applied at the same point, and per-unit top-k
+    with the same (rounded score DESC, doc ASC) comparator commutes
+    with the final global sort (asserted by tests/test_wand.py
+    driver/distributed equality and the oracle gate)."""
+    from ..analyzer import BM25_B, BM25_K1
+
+    if OR_KERNEL == "wand" and mode != "and" and not return_all:
+        # block-max WAND stays selectable as the traversal of record
+        # (block-skipping regime / measurement); it is inherently
+        # per-cursor, so it keeps the per-(segment, shard) group loop
+        scorer = _make_group_scorer(
+            idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b
+        )
+        frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "raw": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    out_docs, out_scores = [], []
+    for seg, sdf in pdf.groupby("segment", sort=False):
+        seg_i = int(seg)
+        dead = frozenset(d for d, u in dead_upto.items() if seg_i <= u)
+        per_tid: list[tuple[np.ndarray, np.ndarray]] = []  # tid-sorted
+        for tid, g in sdf.groupby("tid", sort=True):
+            d, t, l, _ = unpack_blocks_batch(
+                g["docs_vb"].to_numpy(), g["tfs_vb"].to_numpy(), g["dls_vb"].to_numpy()
+            )
+            s = idfs[int(tid)] * tfpart(
+                t.astype(np.float64), l.astype(np.float64), avgdl, k1, b
+            )
+            per_tid.append((d.astype(np.int64), s))
+        if not per_tid:
+            continue
+        if mode == "and" and len(per_tid) < n_terms:
+            continue
+        # AND = "present in every list" = per-doc term count == n_terms
+        # with the same tid-ordered score sum; OR keeps min_should.
+        required = n_terms if mode == "and" else min_should
+        if len(per_tid) == 1:
+            # single-term fast path: docs are unique within the segment
+            # already — no group-sum (head-term queries decode+score in
+            # a handful of linear passes)
+            if required > 1:
+                continue
+            docs, s = per_tid[0]
+            scores = s
+        else:
+            docs_cat = np.concatenate([d for d, _s in per_tid])
+            score_cat = np.concatenate([s for _d, s in per_tid])
+            lo = docs_cat.min()
+            span = int(docs_cat.max() - lo) + 1
+            if span <= 8 * docs_cat.size:
+                # dense doc-id range: direct bincount — no unique-sort.
+                # bincount(weights) accumulates out[key[i]] += w[i] in
+                # input order, exactly add.at's addition sequence, so
+                # per-doc float sums are bit-identical to the group
+                # scorer's (terms concatenated in tid-sorted order).
+                keys = docs_cat - lo
+                counts = np.bincount(keys, minlength=span)
+                sums = np.bincount(keys, weights=score_cat, minlength=span)
+                nz = np.flatnonzero(counts >= required)
+                docs, scores = nz + lo, sums[nz]
+            else:
+                # sparse ids (scale path): sort-based grouping
+                uniq, inv = np.unique(docs_cat, return_inverse=True)
+                sums = np.bincount(inv, weights=score_cat)
+                keep = np.bincount(inv) >= required
+                docs, scores = uniq[keep], sums[keep]
+        if dead and docs.size:
+            live = ~np.isin(docs, np.fromiter(dead, dtype=np.int64))
+            docs, scores = docs[live], scores[live]
+        scores = np.round(scores, ROUND_DIGITS)
+        if not return_all and docs.size > k:
+            thresh = scores[np.argpartition(-scores, k - 1)[:k]].min()
+            sel = np.flatnonzero(scores >= thresh)
+            docs, scores = docs[sel], scores[sel]
+            order = np.lexsort((docs, -scores))[:k]
+            docs, scores = docs[order], scores[order]
+        out_docs.append(docs)
+        out_scores.append(scores)
+    if not out_docs:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "raw": pd.Series(dtype="float64")})
+    return pd.DataFrame({"doc_id": np.concatenate(out_docs),
+                         "raw": np.concatenate(out_scores)})
+
+
+# Columns the match scorer consumes (positional payload excluded — it
+# must stay out of the scan/pull, guide §2.3 project-before-exchange).
+_MATCH_COLS = [
+    "segment", "shard", "tid", "first_doc_id", "last_doc_id",
+    "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
+]
+
+
+def _driver_matched(reader: IndexReader, tids: list[int], cols: list[str]):
+    """Matched postings sliced from the serving session's driver-side
+    residency (reader.driver_postings) — zero Spark jobs — or None when
+    no serving copy is held (closed serving / over the byte cap /
+    pre-counter manifests). Same rows, same columns, same dtypes as the
+    ``matched.toPandas()`` pull it replaces; only the transport differs
+    (measured: ~60 ms fixed per-query job overhead eliminated)."""
+    dp = reader.driver_postings()
+    if dp is None:
+        return None
+    return dp.loc[dp["tid"].isin(tids), cols]
+
+
 # Below this many estimated packed BYTES the query runs coordinator-
 # local: collect the matched blocks (pruned parquet scan, no shuffle, no
 # Python workers) and run WAND on the driver — the classic search-head
@@ -395,10 +535,7 @@ def _bm25_topk_batch_distributed(
 
     matched = reader.postings().where(
         F.col("tid").isin([t for s in spec_tids.values() for t in s])
-    ).select(
-        "segment", "shard", "tid", "first_doc_id", "last_doc_id",
-        "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
-    )
+    ).select(*_MATCH_COLS)
     if big_tombs:
         matched = matched.unionByName(reader.dead_sentinel_rows(), allowMissingColumns=True)
     scored = matched.groupBy("segment", "shard").applyInPandas(
@@ -468,15 +605,14 @@ def bm25_topk_batch(
     n, avgdl = reader.n_docs, reader.avgdl
     idfs = {t: _idf(n, d) for t, d in dfs.items()}
     dead_upto = reader.tombstones_map()
-    pdf = (
-        reader.postings()
-        .where(F.col("tid").isin(list(dfs)))
-        .select(
-            "segment", "shard", "tid", "first_doc_id", "last_doc_id",
-            "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
+    pdf = _driver_matched(reader, list(dfs), _MATCH_COLS)
+    if pdf is None:
+        pdf = (
+            reader.postings()
+            .where(F.col("tid").isin(list(dfs)))
+            .select(*_MATCH_COLS)
+            .toPandas()
         )
-        .toPandas()
-    )
     outs = []
     for terms, mode in specs:
         q_tids = [tids[t] for t in terms if tids.get(t) in dfs]
@@ -484,11 +620,9 @@ def bm25_topk_batch(
             outs.append(empty)
             continue
         sub = pdf[pdf["tid"].isin(q_tids)]
-        scorer = _make_group_scorer(
-            idfs, avgdl, k, mode, 1, dead_upto, len(terms), False, k1, b
+        hits = _score_matched_driver(
+            sub, idfs, avgdl, k, mode, 1, dead_upto, len(terms), False, k1, b
         )
-        frames = [scorer(g) for _, g in sub.groupby(["segment", "shard"], sort=False)]
-        hits = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(columns=["doc_id", "raw"])
         hits["score"] = hits["raw"].round(ROUND_DIGITS)
         hits = hits.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
         out_pdf = hits[["doc_id", "score"]].astype({"doc_id": "int64", "score": "float64"})
@@ -538,10 +672,7 @@ def bm25_topk(
 
     # column-pruned: match scoring never touches the positional payload
     # (pos_vb), so it must stay out of the parquet scan and the shuffle
-    matched = reader.postings().where(F.col("tid").isin(list(dfs))).select(
-        "segment", "shard", "tid", "first_doc_id", "last_doc_id",
-        "n_docs", "max_tf", "min_dl", "docs_vb", "tfs_vb", "dls_vb",
-    )
+    matched = reader.postings().where(F.col("tid").isin(list(dfs))).select(*_MATCH_COLS)
     scorer = _make_group_scorer(idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b)
 
     est_bytes = sum(dfs.values()) * reader.bytes_per_posting
@@ -553,9 +684,12 @@ def bm25_topk(
         dead_rows = reader.dead_sentinel_rows()
         matched = matched.unionByName(dead_rows, allowMissingColumns=True)
     if use_driver:
-        pdf = matched.toPandas()
-        frames = [scorer(g) for _, g in pdf.groupby(["segment", "shard"], sort=False)]
-        hits = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(columns=["doc_id", "raw"])
+        pdf = _driver_matched(reader, list(dfs), _MATCH_COLS)
+        if pdf is None:
+            pdf = matched.toPandas()
+        hits = _score_matched_driver(
+            pdf, idfs, avgdl, k, mode, min_should, dead_upto, n_terms, return_all, k1, b
+        )
         hits["score"] = hits["raw"].round(ROUND_DIGITS)
         hits = hits.sort_values(["score", "doc_id"], ascending=[False, True])
         if not return_all:
