@@ -722,6 +722,7 @@ def q_stream_topk_cms(spark, sf_dir):
     asserted across forced multi-file micro-batches in
     tests/test_cmsstream.py."""
     import os
+    import shutil
     import tempfile
 
     from ..streaming.cmsstream import cms_stream_sketch
@@ -730,11 +731,16 @@ def q_stream_topk_cms(spark, sf_dir):
     # the file stream source wants a DIRECTORY; the fixture table is a
     # single parquet file — expose it through a symlink dir (no copy)
     src = f"{sf_dir}/events.parquet"
-    if os.path.isfile(src):
-        d = tempfile.mkdtemp(prefix="cms_src_")
-        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
-        src = d
-    acc = cms_stream_sketch(spark, src, schema)
+    d = None
+    try:
+        if os.path.isfile(src):
+            d = tempfile.mkdtemp(prefix="cms_src_")
+            os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+            src = d
+        acc = cms_stream_sketch(spark, src, schema)
+    finally:
+        if d is not None:  # ADVICE r5: the symlink dir leaked per call
+            shutil.rmtree(d, ignore_errors=True)
     probes = ["click", "view", "purchase", "signup", "error"]
     est = spark.createDataFrame(
         [(t, acc.estimate(t)) for t in probes], "term string, est long"

@@ -121,9 +121,14 @@ def gen_root(index_dir: str) -> str:
     return index_dir
 
 
-def _make_stream_packer(block_size: int):
+def _make_stream_packer(block_size: int, n_shards: int | None = None):
     """Streaming per-partition packer for mapInPandas over TOKEN-level
-    input sorted by (tid, shard, doc_id, pos).
+    input sorted by (tid, shard, doc_id, pos). When ``n_shards`` is
+    given the input carries no ``shard`` column — the packer derives it
+    as ``doc_id % n_shards`` (one numpy op per batch), so the shard key
+    never rides the wide shuffle / sort / Arrow boundary (guide §2.3
+    "shuffle fewer bytes": 4 of 28 bytes per token row; the build's
+    repartition and sort key it as an expression instead).
 
     Postings are DERIVED here from the sorted runs — tf is the run
     length of (tid, doc_id), positions are the run's pos values, dl
@@ -217,7 +222,10 @@ def _make_stream_packer(block_size: int):
         carry = None  # token arrays of the unfinished tail (tid, shard) group
         for pdf in batches:
             tid = pdf["tid"].to_numpy(dtype=np.int64)
-            shard = pdf["shard"].to_numpy()
+            if n_shards is not None:
+                shard = (pdf["doc_id"].to_numpy(dtype=np.int64) % n_shards).astype(np.int32)
+            else:
+                shard = pdf["shard"].to_numpy()
             doc_id = pdf["doc_id"].to_numpy(dtype=np.int64)
             dl = pdf["dl"].to_numpy(dtype=np.int64)
             pos = pdf["pos"].to_numpy(dtype=np.uint64)
@@ -329,13 +337,18 @@ def build_segment(
     exploded = base.select(
         "doc_id", "dl", F.posexplode("_toks").alias("pos", "_tok")
     ).select("doc_id", "dl", F.col("pos").cast("int").alias("pos"), F.xxhash64("_tok").alias("tid"))
-    sharded = exploded.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    # shard is an EXPRESSION in the partition/sort keys, never a
+    # materialized column: the wide shuffle and sort move 24 B/token
+    # instead of 28 (guide §2.3); the packer re-derives it from doc_id
+    # (same pmod, same int32) — identical layout, ~4% pack-stage wall
+    # in the r6 interleaved A/B at local[4], flat at local[1].
+    shard_expr = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     pack_width = max(target_parts, int(spark.conf.get("spark.sql.shuffle.partitions")))
     pack_obs = Observation()
     packed = (
-        sharded.repartition(pack_width, "tid", "shard")
-        .sortWithinPartitions("tid", "shard", "doc_id", "pos")
-        .mapInPandas(_make_stream_packer(block_size), schema=POSTINGS_SCHEMA)
+        exploded.repartition(pack_width, F.col("tid"), shard_expr)
+        .sortWithinPartitions(F.col("tid"), shard_expr, F.col("doc_id"), F.col("pos"))
+        .mapInPandas(_make_stream_packer(block_size, n_shards), schema=POSTINGS_SCHEMA)
         .observe(
             pack_obs,
             F.approx_count_distinct("tid").alias("term_count"),

@@ -180,15 +180,18 @@ class IndexReader:
             self._serving.count()  # materialize the residency eagerly
         return self._serving
 
-    # Residency sizing (guide §2.2/§6): ~32 MB of packed postings per
+    # Residency sizing (guide §2.2/§6): ~8 MB of packed postings per
     # cached partition. Derived from exact manifest byte counters, so it
     # is scale-adaptive rather than a constant tuned for local mode: a
     # toy index opens as a handful of partitions (per-query task fan-out
     # is the dominant serving cost there — BASELINE.md decomposition:
     # a bare residency scan costs 0.09 s at 8 partitions vs 0.22 s at
-    # 32), while a 10^12-doc index saturates the executor pool (capped
-    # at 4x parallelism, the usual 2-4x-cores rule for balanced tasks).
-    SERVING_PART_BYTES = 32 * 1024 * 1024
+    # 32; an r6 sweep over the 640k-doc tier put the dist-query optimum
+    # at ~8 partitions = ~8 MB each, where per-task batch-pruned scan
+    # latency balances task fan-out), while a 10^12-doc index saturates
+    # the executor pool (capped at 4x parallelism, the usual 2-4x-cores
+    # rule for balanced tasks).
+    SERVING_PART_BYTES = 8 * 1024 * 1024
 
     def _serving_parts(self) -> int:
         total = sum(m.get("postings_bytes", 0) for m in self.manifests)

@@ -24,11 +24,12 @@ replacement that was merged away still has committed content inside a
 pinned merged segment and dropping its tombstone would resurrect the
 old version beside it; a delete tombstone (is_delete=true) references
 no segment and is always kept.
-Rows from pre-marker parquet files (is_delete column absent → null)
-fall back to the membership rule — the no-data-loss direction; the
-only legacy artifact is that a trailing delete-only tombstone written
-right before the snapshot may be excluded (doc resurrects in the
-restored copy), which new-format writes don't exhibit.
+Rows from pre-marker parquet files (is_delete column absent) are
+copied UNFILTERED — the race above can only produce is_delete-bearing
+rows going forward, and filtering legacy rows would silently drop a
+legacy delete-only tombstone targeting the newest segment (the doc
+would resurrect on restore; ADVICE r5). Worst case of the unfiltered
+copy is a harmless extra tombstone, never a lost one.
 
 Restore materializes the snapshot as a fresh standalone index dir; an
 IndexReader over it serves the exact pinned view. At object-store
@@ -80,10 +81,14 @@ def _copy_tombstones_filtered(src: str, dst: str, pinned: set[int]) -> None:
         )
         if "is_delete" in t.column_names:
             mask = pc.or_(pc.fill_null(t["is_delete"], False), keep_upsert)
-        else:
-            # legacy files (pre is_delete): committed-replacement rule only
-            mask = keep_upsert
-        t = t.filter(mask)
+            t = t.filter(mask)
+        # legacy files (pre is_delete) copy UNFILTERED (ADVICE r5): the
+        # concurrent-upsert race this filter guards against can only
+        # produce is_delete-bearing rows going forward, and applying
+        # the committed-replacement rule to legacy rows silently
+        # dropped any legacy delete-only tombstone targeting the newest
+        # segment — restores then resurrected deleted docs. Unfiltered
+        # copy is the pre-existing no-data-loss behavior.
         if t.num_rows:
             pq.write_table(t, os.path.join(dst, f"part-{i:05d}.parquet"))
 

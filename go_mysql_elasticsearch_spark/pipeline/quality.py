@@ -25,7 +25,7 @@ projection (they run inside the scan, like pii_scrub).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..analyzer import tokens_col
@@ -38,13 +38,20 @@ def unigram_perplexity(docs: DataFrame) -> DataFrame:
     is trained on the same corpus it scores — CCNet trains on a clean
     reference corpus instead; swap the counts frame to do that)."""
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    # cached: the vocabulary agg is the expensive stage and feeds BOTH
-    # the total-sum action and the token→probability join — without the
-    # cache it would execute twice (code-review r5)
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c")).cache()
-    total = counts.agg(F.sum("c")).first()[0] or 1.0
+    # ONE plan, no cache (r6, ADVICE r5: the cached counts frame leaked
+    # into executor memory for the session lifetime — unpersist had no
+    # safe place because the returned frame still referenced it). The
+    # corpus total now rides each vocab row via an unpartitioned window
+    # SUM over the vocabulary agg — vocab-sized, evaluated inside the
+    # same plan, so there is no separate driver action to leak a cache
+    # for and the vocabulary aggregation still runs exactly once.
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("_total", F.sum("c").over(Window.partitionBy()))
+    )
     scored = toks.join(counts, "term").select(
-        "doc_id", (F.log(F.col("c") / F.lit(float(total)))).alias("lp")
+        "doc_id", (F.log(F.col("c") / F.col("_total"))).alias("lp")
     )
     return (
         scored.groupBy("doc_id")

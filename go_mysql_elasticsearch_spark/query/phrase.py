@@ -411,6 +411,23 @@ def _positional_hits(
             hits = hits[hits["raw"].to_numpy() >= kth - 10.0 ** (-ROUND_DIGITS)]
         return spark.createDataFrame(hits, schema="doc_id long, raw double")
     schema = "doc_id long, raw double"
+    if reader.postings() is getattr(reader, "_serving", None) and not big_tombs:
+        # Serving residency open (r6, mirrors wand.bm25_topk): cached
+        # partitions hold complete (segment, shard) groups, so the
+        # shard loop runs inside ONE mapInPandas call per partition —
+        # no per-query local Sort, no per-group Arrow framing. The
+        # scorer itself is unchanged (still sees one group at a time).
+        def part_score(batches):
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            for _, g in pdf.groupby(["segment", "shard"], sort=False):
+                out = scorer(g)
+                if len(out):
+                    yield out
+
+        return matched.mapInPandas(part_score, schema=schema)
     return matched.groupBy("segment", "shard").applyInPandas(scorer, schema=schema)
 
 

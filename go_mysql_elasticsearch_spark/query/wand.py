@@ -697,7 +697,33 @@ def bm25_topk(
         out_pdf = hits[["doc_id", "score"]].astype({"doc_id": "int64", "score": "float64"})
         return spark.createDataFrame(out_pdf, schema="doc_id long, score double")
 
-    local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
+    if reader.postings() is getattr(reader, "_serving", None) and not big_tombs:
+        # Serving residency open (r6): every cached partition holds
+        # COMPLETE (segment, shard) groups (the residency's hash
+        # repartition is the guarantee), so the shard grouping can run
+        # as ONE mapInPandas call per partition with the segment-level
+        # kernel inside — removing the per-query local Sort the
+        # FlatMapGroupsInPandas plan needed and the per-group Arrow
+        # framing (32 group messages → n_parts partition streams).
+        # Identical hits: partitions are disjoint doc sets, the kernel
+        # matches the group scorer bit-for-bit (see
+        # _score_matched_driver), and the per-partition top-k feeds the
+        # same global TakeOrdered. Falls back to groupBy when sentinel
+        # rows are unioned in (their frame breaks the co-partitioning)
+        # or serving is closed (raw scan partitions split groups).
+        def part_score(batches):
+            parts = [p for p in batches if len(p)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            yield _score_matched_driver(
+                pdf, idfs, avgdl, k, mode, min_should, dead_upto,
+                n_terms, return_all, k1, b,
+            )
+
+        local = matched.mapInPandas(part_score, schema=_TOPK_SCHEMA)
+    else:
+        local = matched.groupBy("segment", "shard").applyInPandas(scorer, schema=_TOPK_SCHEMA)
     out = local.select("doc_id", F.round("raw", ROUND_DIGITS).alias("score"))
     if return_all:
         # No global sort: compound-query composition (query/ast.py)

@@ -73,10 +73,25 @@ def cms_stream_sketch(
     every micro-batch into one CmsAccumulator. maxFilesPerTrigger=1
     forces one micro-batch per input file so the cross-batch merge is
     actually exercised. The checkpoint never lives inside ``src_dir``
-    (the source may be read-only); default is a throwaway temp dir —
-    pass a durable path for a resumable production stream."""
+    (the source may be read-only); default is a throwaway temp dir that
+    is REMOVED after termination (ADVICE r5: it leaked one dir per
+    invocation) — pass a durable path for a resumable production
+    stream. NOTE: a durable checkpoint only makes the SOURCE resumable;
+    the accumulator starts empty each call, so reusing a checkpoint
+    whose files were already processed yields a partial sketch — this
+    guard raises instead of returning one silently."""
+    import os
+    import shutil
     import tempfile
 
+    if checkpoint_dir is not None and os.path.exists(
+        os.path.join(checkpoint_dir, "sources")
+    ):
+        raise ValueError(
+            "checkpoint_dir has prior stream progress; the fresh "
+            "CmsAccumulator would silently miss already-processed files "
+            "— use a new checkpoint, or persist/merge the prior sketch"
+        )
     acc = CmsAccumulator()
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -87,11 +102,15 @@ def cms_stream_sketch(
         acc.add(cms_batch_cells(bdf, term_col))
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cms_ckpt_")
-    q = (
-        src.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return acc

@@ -141,3 +141,43 @@ def test_snapshot_concurrent_upsert_race_keeps_live_doc(spark, tmp_path):
     restored_ids = {d for d, _ in _top(spark, dest, ["data", "merge"])}
     assert live_doc in restored_ids  # orphan tombstone filtered out
     assert deleted_doc not in restored_ids  # committed delete honored
+
+
+def test_snapshot_copies_legacy_tombstones_unfiltered(spark, tmp_path):
+    """ADVICE r5 (medium): a LEGACY tombstone file (pre-is_delete
+    schema) holding a delete-only row that targets the NEWEST segment
+    must survive the snapshot unfiltered — the committed-replacement
+    rule would have read it as an uncommitted upsert and dropped it,
+    resurrecting the deleted doc in the restore."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_mysql_elasticsearch_spark.index.build import gen_root
+
+    idx = str(tmp_path / "legacy_idx")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(spark, docs, idx, n_segments=1, n_shards=2)
+    before = _top(spark, idx, ["data", "merge"])
+    victim = before[0][0]
+
+    # legacy-format delete: only (doc_id, upto_seg), upto_seg = newest
+    # pinned segment (0) — replacement would be seg 1, uncommitted
+    tdir = os.path.join(gen_root(idx), "tombstones.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([victim], pa.int64()),
+                "upto_seg": pa.array([0], pa.int32()),
+            }
+        ),
+        os.path.join(tdir, "legacy.parquet"),
+    )
+    assert victim not in {d for d, _ in _top(spark, idx, ["data", "merge"])}
+
+    snap = str(tmp_path / "legacy_snap")
+    snapshot_index(idx, snap)
+    dest = str(tmp_path / "legacy_restored")
+    restore_index(snap, dest)
+    restored_ids = {d for d, _ in _top(spark, dest, ["data", "merge"])}
+    assert victim not in restored_ids  # legacy delete survives the copy
