@@ -377,9 +377,20 @@ def _positional_hits(
         frozenset(prefix_tids) if prefix_tids else None, slop,
     )
     est_bytes = sum(dfs.get(t, 0) for t in all_tids) * reader.bytes_per_posting
+    # auto is residency-aware for PHRASE (r6): with a serving session
+    # open, the shard-parallel path wins — positional chain verification
+    # parallelizes across partitions with zero Exchange and no per-query
+    # Sort, while the driver path decodes positions single-threaded
+    # (640k-doc tier, same window: distributed 0.23 s vs driver 0.41 s;
+    # r5 BASELINE recorded the same direction at 0.96x before the r6
+    # mapInPandas work widened it). Match queries keep the byte-estimate
+    # rule: their driver kernel over the resident copy is still the
+    # fastest path at coordinator-friendly sizes.
+    serving_open = reader.postings() is getattr(reader, "_serving", None)
     use_driver = not big_tombs and (
         strategy == "driver"
-        or (strategy == "auto" and est_bytes <= DRIVER_PATH_MAX_BYTES)
+        or (strategy == "auto" and not serving_open
+            and est_bytes <= DRIVER_PATH_MAX_BYTES)
     )
     if use_driver:
         from .wand import _driver_matched
